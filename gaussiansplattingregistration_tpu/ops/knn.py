@@ -1,0 +1,83 @@
+"""Nearest-neighbor search, TPU-style: static shapes, MXU-friendly distances.
+
+The reference delegates neighbor search to Open3D KD-trees and a C++ spatial
+hash grid (`/root/reference/src/cpp_ext/src/pointindex.cpp:55-143`). Neither
+maps to TPUs: instead distances are computed as blocked Gram matrices
+(|q|^2 + |d|^2 - 2 q·d — a matmul, which XLA tiles onto the MXU) with top-k
+selection, everything static-shaped and jittable. For the sizes registration
+runs at after downsampling (1e4-1e6 points), a blocked dense sweep at HBM
+bandwidth beats a pointer-chasing tree; the block size bounds memory at
+O(block * N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(q: jax.Array, d: jax.Array) -> jax.Array:
+    """[Bq, 3] x [N, 3] -> [Bq, N] squared distances via the Gram trick."""
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    d2 = jnp.sum(d * d, axis=-1)[None, :]
+    cross = q @ d.T
+    return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+def knn(
+    query: jax.Array,
+    data: jax.Array,
+    k: int,
+    block_size: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest neighbors of each query point in `data`.
+
+    Returns (sq_distances [Q, k], indices [Q, k]), sorted ascending by
+    distance. Both shapes are static; queries are processed in blocks of
+    `block_size` via `lax.map` to bound the [block, N] distance tile.
+    """
+    n_query = query.shape[0]
+    pad = (-n_query) % block_size
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    blocks = qp.reshape(-1, block_size, query.shape[1])
+
+    def one_block(qb):
+        d2 = _pairwise_sqdist(qb, data)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    d2s, idxs = jax.lax.map(one_block, blocks)
+    d2s = d2s.reshape(-1, k)[:n_query]
+    idxs = idxs.reshape(-1, k)[:n_query]
+    return d2s, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+def hybrid_search(
+    query: jax.Array,
+    data: jax.Array,
+    radius: float,
+    k: int,
+    block_size: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """KDTreeSearchParamHybrid analogue: k nearest within `radius`.
+
+    Returns (sq_distances [Q, k], indices [Q, k], valid_mask [Q, k]).
+    Matches the semantics Open3D's hybrid search gives the reference
+    (`/root/reference/src/utils/global_registration_util.py:87-94`): at most k
+    neighbors, all within radius; invalid slots are masked.
+    """
+    d2, idx = knn(query, data, k=k, block_size=block_size)
+    valid = d2 <= radius * radius
+    return d2, idx, valid
+
+
+def nearest_neighbor(
+    query: jax.Array, data: jax.Array, block_size: int = 1024
+) -> tuple[jax.Array, jax.Array]:
+    """Single nearest neighbor: (sq_distance [Q], index [Q])."""
+    d2, idx = knn(query, data, k=1, block_size=block_size)
+    return d2[:, 0], idx[:, 0]

@@ -1,0 +1,386 @@
+"""Differentiable tile-based 3DGS rasterizer (JAX/XLA reference pipeline).
+
+Replaces the gsplat CUDA rasterizer the reference wraps
+(`/root/reference/src/utils/rasterization_util.py:10-31`) with a TPU-first
+design. Matches the gsplat configuration the reference uses: explicit 3D
+covariances, RGB render mode, SH-based view-dependent color, background
+blending, `radius_clip=3` culling.
+
+Pipeline (all static shapes, jit/grad/shard-friendly):
+
+1. projection: EWA splatting Σ2D = J W Σ Wᵀ Jᵀ (+0.3 px low-pass as 3DGS);
+2. tile binning: each splat emits up to `max_tiles_per_splat` (tile, depth)
+   entries (bounded coverage instead of CUDA's dynamic duplication);
+3. a single lexicographic `lax.sort` over (tile, depth) replaces the CUDA
+   radix sort;
+4. per-tile top-K gather (`max_splats_per_tile` front-most splats — the
+   static-shape analogue of early termination);
+5. compositing: instead of a sequential front-to-back loop with early exit,
+   per-tile transmittance is an exclusive cumulative sum of log(1 - alpha)
+   along the depth axis — a parallel scan the VPU eats — followed by a
+   weighted reduction. Alpha compositing is associative in log-transmittance,
+   which is also what makes the multi-chip ppermute merge possible
+   (see parallel/sharded_raster.py).
+
+The whole forward is differentiable by construction (sort indices are
+integer-only, gradients flow through the gathers), so `jax.grad` provides the
+backward pass; a hand-written Pallas kernel for the hot composite stage lives
+in ops/raster_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplattingregistration_tpu.ops import math3d, sh as sh_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterization configuration (hashable, used as jit static arg)."""
+
+    tile_size: int = 16
+    max_tiles_per_splat: int = 16     # bounded tile coverage per splat
+    max_splats_per_tile: int = 256    # top-K front-most splats composited
+    tile_chunk: int = 16              # tiles composited per lax.map step
+    radius_clip: float = 3.0          # cull tiny splats (gsplat radius_clip=3)
+    near: float = 0.01                # near-plane cull
+    eps2d: float = 0.3                # 2D low-pass (3DGS convention)
+    alpha_clip: float = 1.0 / 255.0   # minimum visible alpha (3DGS)
+    alpha_max: float = 0.999          # saturating alpha (3DGS)
+    transmittance_min: float = 1e-4   # early-termination threshold (3DGS)
+
+
+DEFAULT_CONFIG = RasterizeConfig()
+
+
+def project_gaussians(
+    means: jax.Array,        # [N, 3]
+    cov3d: jax.Array,        # [N, 6] packed
+    viewmat: jax.Array,      # [4, 4]
+    intrinsics: jax.Array,   # [3, 3]
+    width: int,
+    height: int,
+    config: RasterizeConfig = DEFAULT_CONFIG,
+):
+    """EWA projection of 3D Gaussians to screen space.
+
+    Returns dict with means2d [N,2], conic [N,3] (a,b,c of the inverse 2D
+    covariance), depth [N], radius [N], valid [N].
+    """
+    W = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    p_view = means @ W.T + t                      # [N, 3]
+    z = p_view[:, 2]
+
+    fx = intrinsics[0, 0]
+    fy = intrinsics[1, 1]
+    cx = intrinsics[0, 2]
+    cy = intrinsics[1, 2]
+
+    zc = jnp.maximum(z, config.near)              # guarded z for the math
+    x, y = p_view[:, 0], p_view[:, 1]
+    means2d = jnp.stack([fx * x / zc + cx, fy * y / zc + cy], axis=-1)
+
+    # 3DGS clamps the tangent-plane extent to 1.3 * fov before the Jacobian.
+    lim_x = 1.3 * (width / 2.0) / fx
+    lim_y = 1.3 * (height / 2.0) / fy
+    tx = zc * jnp.clip(x / zc, -lim_x, lim_x)
+    ty = zc * jnp.clip(y / zc, -lim_y, lim_y)
+
+    # J: Jacobian of perspective projection, [N, 2, 3].
+    zero = jnp.zeros_like(zc)
+    J = jnp.stack(
+        [
+            jnp.stack([fx / zc, zero, -fx * tx / (zc * zc)], axis=-1),
+            jnp.stack([zero, fy / zc, -fy * ty / (zc * zc)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    sigma = math3d.unpack_symmetric(cov3d)        # [N, 3, 3]
+    JW = J @ W                                     # [N, 2, 3]
+    cov2d = JW @ sigma @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
+    cov2d = cov2d + config.eps2d * jnp.eye(2, dtype=cov2d.dtype)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det = jnp.maximum(det, 1e-12)
+    inv_det = 1.0 / det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # Radius: 3 sigma of the larger eigenvalue (3DGS formula).
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    inside = (
+        (means2d[:, 0] + radius > 0)
+        & (means2d[:, 0] - radius < width)
+        & (means2d[:, 1] + radius > 0)
+        & (means2d[:, 1] - radius < height)
+    )
+    valid = (z > config.near) & (radius > config.radius_clip) & inside
+
+    return {
+        "means2d": means2d,
+        "conic": conic,
+        "depth": z,
+        "radius": jnp.where(valid, radius, 0.0),
+        "valid": valid,
+    }
+
+
+def compute_view_colors(
+    features: jax.Array,     # [N, K, 3]
+    means: jax.Array,        # [N, 3]
+    cam_center: jax.Array,   # [3]
+    sh_degree: int,
+) -> jax.Array:
+    """View-dependent RGB from SH (3DGS: eval + 0.5, clamped at 0)."""
+    dirs = math3d.normalize(means - cam_center[None, :])
+    rgb = sh_ops.eval_sh(sh_degree, features, dirs) + 0.5
+    return jnp.maximum(rgb, 0.0)
+
+
+def _build_tile_entries(
+    means2d: jax.Array,
+    radius: jax.Array,
+    depth: jax.Array,
+    valid: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    config: RasterizeConfig,
+):
+    """Emit up to C = max_tiles_per_splat (tile_id, depth, splat_id) entries
+    per splat, then sort lexicographically by (tile_id, depth).
+
+    Invalid entries get tile_id = num_tiles and sort to the end. Coverage
+    beyond C tiles is truncated (bounded-coverage contract; with
+    radius <= 1.5 tiles a 4x4 window is exact).
+    """
+    n = means2d.shape[0]
+    ts = float(config.tile_size)
+    num_tiles = tiles_x * tiles_y
+
+    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((means2d[:, 0] + radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((means2d[:, 1] + radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
+    w = tx1 - tx0 + 1
+    h = ty1 - ty0 + 1
+
+    C = config.max_tiles_per_splat
+    c = jnp.arange(C, dtype=jnp.int32)[None, :]          # [1, C]
+    dx = c % w[:, None]
+    dy = c // w[:, None]
+    entry_valid = (c < (w * h)[:, None]) & valid[:, None]
+    tile_id = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    tile_id = jnp.where(entry_valid, tile_id, num_tiles).astype(jnp.int32)
+
+    flat_tiles = tile_id.reshape(-1)
+    flat_depth = jnp.broadcast_to(depth[:, None], (n, C)).reshape(-1)
+    flat_splat = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, C)
+    ).reshape(-1)
+
+    sorted_tiles, _, sorted_splats = jax.lax.sort(
+        (flat_tiles, flat_depth, flat_splat), num_keys=2
+    )
+    return sorted_tiles, sorted_splats
+
+
+def _tile_ranges(sorted_tiles: jax.Array, num_tiles: int):
+    """Start/end offsets of each tile's entry run in the sorted array."""
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tiles, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tiles, tids, side="right").astype(jnp.int32)
+    return starts, ends
+
+
+def _composite_chunk(
+    tile_origin: jax.Array,   # [B, 2] pixel origin of each tile
+    splat_idx: jax.Array,     # [B, K]
+    entry_valid: jax.Array,   # [B, K]
+    means2d: jax.Array,       # [N, 2]
+    conic: jax.Array,         # [N, 3]
+    opacity: jax.Array,       # [N]
+    colors: jax.Array,        # [N, 3]
+    depth: jax.Array,         # [N]
+    config: RasterizeConfig,
+):
+    """Front-to-back alpha compositing of K depth-sorted splats over a chunk
+    of B tiles (tile_size² pixels each) via exclusive log-transmittance cumsum.
+
+    Returns (rgb [B, P, 3], alpha [B, P], depth [B, P]) with P = tile_size².
+    """
+    ts = config.tile_size
+    B, K = splat_idx.shape
+
+    m = means2d[splat_idx]          # [B, K, 2]
+    co = conic[splat_idx]           # [B, K, 3]
+    op = opacity[splat_idx]         # [B, K]
+    col = colors[splat_idx]         # [B, K, 3]
+    dep = depth[splat_idx]          # [B, K]
+
+    # Pixel centers of the tile, [P, 2].
+    py, px = jnp.meshgrid(
+        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
+        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
+        indexing="ij",
+    )
+    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # [P, 2]
+    pix = tile_origin[:, None, :] + pix[None, :, :]             # [B, P, 2]
+
+    d = pix[:, None, :, :] - m[:, :, None, :]                   # [B, K, P, 2]
+    dx2 = d[..., 0] * d[..., 0]
+    dy2 = d[..., 1] * d[..., 1]
+    dxdy = d[..., 0] * d[..., 1]
+    sigma = (
+        0.5 * (co[:, :, None, 0] * dx2 + co[:, :, None, 2] * dy2)
+        + co[:, :, None, 1] * dxdy
+    )                                                            # [B, K, P]
+    alpha = op[:, :, None] * jnp.exp(-jnp.maximum(sigma, 0.0))
+    alpha = jnp.minimum(alpha, config.alpha_max)
+    visible = (alpha >= config.alpha_clip) & entry_valid[:, :, None] & (sigma >= 0.0)
+    alpha = jnp.where(visible, alpha, 0.0)
+
+    # Exclusive cumulative log-transmittance along the (depth-sorted) K axis.
+    log_t = jnp.log1p(-alpha)
+    log_T_incl = jnp.cumsum(log_t, axis=1)
+    log_T_excl = log_T_incl - log_t                              # exclusive
+    T = jnp.exp(log_T_excl)
+    # 3DGS early termination: stop once transmittance falls below 1e-4.
+    w = jnp.where(T > config.transmittance_min, alpha * T, 0.0)  # [B, K, P]
+
+    rgb = jnp.einsum("bkp,bkc->bpc", w, col)
+    acc_alpha = jnp.sum(w, axis=1)                               # [B, P]
+    acc_depth = jnp.einsum("bkp,bk->bp", w, dep)
+    return rgb, acc_alpha, acc_depth
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "sh_degree", "config")
+)
+def rasterize_arrays(
+    means: jax.Array,
+    cov3d: jax.Array,
+    opacity: jax.Array,       # [N] activated (sigmoid applied)
+    features: jax.Array,      # [N, K, 3] SH stack (DC first)
+    viewmat: jax.Array,
+    intrinsics: jax.Array,
+    width: int,
+    height: int,
+    sh_degree: int,
+    background: jax.Array,    # [3]
+    config: RasterizeConfig = DEFAULT_CONFIG,
+):
+    """Core functional rasterizer over raw arrays.
+
+    Returns (rgb [H, W, 3], alpha [H, W], depth [H, W]).
+    """
+    ts = config.tile_size
+    tiles_x = -(-width // ts)
+    tiles_y = -(-height // ts)
+    num_tiles = tiles_x * tiles_y
+
+    proj = project_gaussians(means, cov3d, viewmat, intrinsics, width, height, config)
+
+    cam_center = -(viewmat[:3, :3].T @ viewmat[:3, 3])
+    colors = compute_view_colors(features, means, cam_center, sh_degree)
+    op = opacity * proj["valid"].astype(opacity.dtype)
+
+    sorted_tiles, sorted_splats = _build_tile_entries(
+        proj["means2d"], proj["radius"], proj["depth"], proj["valid"],
+        tiles_x, tiles_y, config,
+    )
+    starts, ends = _tile_ranges(sorted_tiles, num_tiles)
+
+    K = config.max_splats_per_tile
+    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.minimum(starts[:, None] + offs, sorted_splats.shape[0] - 1)
+    tile_splats = sorted_splats[gather_idx]                     # [T, K]
+    tile_entry_valid = (starts[:, None] + offs) < ends[:, None]  # [T, K]
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_origin = jnp.stack(
+        [(tile_ids % tiles_x) * ts, (tile_ids // tiles_x) * ts], axis=-1
+    ).astype(means.dtype)
+
+    # Pad tile count to a multiple of the chunk size, composite chunk-wise.
+    B = config.tile_chunk
+    pad = (-num_tiles) % B
+    tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
+    tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
+    tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
+
+    def chunk_fn(args):
+        origin, sidx, svalid = args
+        return _composite_chunk(
+            origin, sidx, svalid, proj["means2d"], proj["conic"], op,
+            colors, proj["depth"], config,
+        )
+
+    n_chunks = (num_tiles + pad) // B
+    rgb, alpha, depthmap = jax.lax.map(
+        chunk_fn,
+        (
+            tile_origin_p.reshape(n_chunks, B, 2),
+            tile_splats_p.reshape(n_chunks, B, K),
+            tile_valid_p.reshape(n_chunks, B, K),
+        ),
+    )
+    # [n_chunks, B, P(, 3)] -> tile-major [T, ts, ts, ...] -> image.
+    P = ts * ts
+    rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
+    alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
+    depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
+
+    def tiles_to_image(tiles, ch):
+        img = tiles.reshape(tiles_y, tiles_x, ts, ts, ch)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, ch)
+        return img[:height, :width]
+
+    img_rgb = tiles_to_image(rgb, 3)
+    img_alpha = tiles_to_image(alpha[..., None], 1)[..., 0]
+    img_depth = tiles_to_image(depthmap[..., None], 1)[..., 0]
+
+    img_rgb = img_rgb + (1.0 - img_alpha[..., None]) * background[None, None, :]
+    return img_rgb, img_alpha, img_depth
+
+
+def rasterize(
+    cloud,
+    camera,
+    background=(0.0, 0.0, 0.0),
+    scaling_modifier: float = 1.0,
+    config: RasterizeConfig = DEFAULT_CONFIG,
+):
+    """Render a GaussianCloud from a Camera.
+
+    Counterpart of `rasterize_image`
+    (`/root/reference/src/utils/rasterization_util.py:10-31`): explicit
+    scale-modified covariances, sigmoid opacity, SH features, background
+    color. Returns (rgb [H, W, 3], alpha [H, W], depth [H, W]).
+    """
+    bg = jnp.asarray(background, jnp.float32)
+    return rasterize_arrays(
+        cloud.xyz,
+        cloud.get_covariance(scaling_modifier),
+        cloud.get_opacity[:, 0],
+        cloud.get_features,
+        camera.viewmat,
+        camera.intrinsics,
+        camera.width,
+        camera.height,
+        cloud.sh_degree,
+        bg,
+        config,
+    )

@@ -1,0 +1,273 @@
+"""Rasterizer correctness tests.
+
+Oracle: a brute-force numpy rasterizer that composites *all* splats per pixel
+in exact global depth order, with the same EWA projection math — the
+tile-binning + top-K pipeline must match it on small scenes (this plays the
+role of the gsplat golden comparison from SURVEY.md §4, which cannot run here
+without CUDA). Plus analytic single-splat checks and gradient sanity.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussiansplattingregistration_tpu.models.camera import Camera
+from gaussiansplattingregistration_tpu.ops import math3d, sh as sh_ops
+from gaussiansplattingregistration_tpu.ops.rasterize import (
+    RasterizeConfig,
+    project_gaussians,
+    rasterize,
+    rasterize_arrays,
+)
+from tests.conftest import make_random_cloud
+
+
+WIDTH, HEIGHT = 64, 48
+
+
+def make_camera(width=WIDTH, height=HEIGHT, fov=60.0):
+    import math
+
+    f = width / (2 * math.tan(math.radians(fov) / 2))
+    R = np.eye(3)
+    T = np.array([0.0, 0.0, 4.0])  # camera looking at origin from z=-4 (w2c translation)
+    return Camera.create(R, T, f, f, width, height)
+
+
+def make_scene(rng, n=40, sh_degree=1, spread=1.0, scale=(0.05, 0.3)):
+    cloud = make_random_cloud(rng, n=n, sh_degree=sh_degree, scale_range=scale)
+    # Spread splats in front of the camera (world z in [-1, 1] -> cam z ~ 3-5).
+    import dataclasses
+
+    xyz = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    cloud = dataclasses.replace(cloud, xyz=jnp.asarray(xyz))
+    import jax.numpy as jnp2
+
+    return dataclasses.replace(
+        cloud,
+        covariance=math3d.covariance_from_scaling_rotation(
+            cloud.get_scaling, cloud.get_rotation
+        ),
+    )
+
+
+def numpy_reference_rasterize(cloud, camera, background, config: RasterizeConfig):
+    """Brute-force per-pixel front-to-back compositing (exact, no tiling)."""
+    means = np.asarray(cloud.xyz, np.float64)
+    cov6 = np.asarray(cloud.get_covariance(), np.float64)
+    opacity = np.asarray(cloud.get_opacity[:, 0], np.float64)
+    feats = np.asarray(cloud.get_features, np.float64)
+    viewmat = np.asarray(camera.viewmat, np.float64)
+    K = np.asarray(camera.intrinsics, np.float64)
+    W, H = camera.width, camera.height
+
+    Rv, tv = viewmat[:3, :3], viewmat[:3, 3]
+    p_view = means @ Rv.T + tv
+    z = p_view[:, 2]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    zc = np.maximum(z, config.near)
+    mean2d = np.stack([fx * p_view[:, 0] / zc + cx, fy * p_view[:, 1] / zc + cy], axis=1)
+
+    lim_x = 1.3 * (W / 2.0) / fx
+    lim_y = 1.3 * (H / 2.0) / fy
+    tx = zc * np.clip(p_view[:, 0] / zc, -lim_x, lim_x)
+    ty = zc * np.clip(p_view[:, 1] / zc, -lim_y, lim_y)
+
+    n = means.shape[0]
+    conic = np.zeros((n, 3))
+    radius = np.zeros(n)
+    for i in range(n):
+        J = np.array(
+            [[fx / zc[i], 0, -fx * tx[i] / zc[i] ** 2], [0, fy / zc[i], -fy * ty[i] / zc[i] ** 2]]
+        )
+        full = np.asarray(math3d.unpack_symmetric(jnp.asarray(cov6[i])), np.float64)
+        c2 = J @ Rv @ full @ Rv.T @ J.T + config.eps2d * np.eye(2)
+        det = np.linalg.det(c2)
+        inv = np.linalg.inv(c2)
+        conic[i] = [inv[0, 0], inv[0, 1], inv[1, 1]]
+        mid = 0.5 * (c2[0, 0] + c2[1, 1])
+        lam1 = mid + np.sqrt(max(mid * mid - det, 0.1))
+        radius[i] = np.ceil(3.0 * np.sqrt(lam1))
+
+    inside = (
+        (mean2d[:, 0] + radius > 0) & (mean2d[:, 0] - radius < W)
+        & (mean2d[:, 1] + radius > 0) & (mean2d[:, 1] - radius < H)
+    )
+    valid = (z > config.near) & (radius > config.radius_clip) & inside
+
+    cam_center = -(Rv.T @ tv)
+    dirs = means - cam_center
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    colors = np.asarray(
+        sh_ops.eval_sh(cloud.sh_degree, jnp.asarray(feats, jnp.float32), jnp.asarray(dirs, jnp.float32)),
+        np.float64,
+    ) + 0.5
+    colors = np.maximum(colors, 0.0)
+
+    order = np.argsort(z, kind="stable")
+    img = np.zeros((H, W, 3))
+    acc = np.zeros((H, W))
+    for yy in range(H):
+        for xx in range(W):
+            px, py = xx + 0.5, yy + 0.5
+            T = 1.0
+            for i in order:
+                if not valid[i]:
+                    continue
+                dx_, dy_ = px - mean2d[i, 0], py - mean2d[i, 1]
+                sigma = 0.5 * (conic[i, 0] * dx_ ** 2 + conic[i, 2] * dy_ ** 2) + conic[i, 1] * dx_ * dy_
+                if sigma < 0:
+                    continue
+                alpha = min(opacity[i] * np.exp(-sigma), config.alpha_max)
+                if alpha < config.alpha_clip:
+                    continue
+                if T < config.transmittance_min:
+                    break
+                img[yy, xx] += alpha * T * colors[i]
+                acc[yy, xx] += alpha * T
+                T *= 1.0 - alpha
+    img += (1.0 - acc[..., None]) * np.asarray(background)[None, None, :]
+    return img, acc
+
+
+CFG = RasterizeConfig(max_tiles_per_splat=16, max_splats_per_tile=64, tile_chunk=4)
+
+
+def test_matches_bruteforce_reference(rng):
+    cloud = make_scene(rng, n=40)
+    cam = make_camera()
+    bg = (0.1, 0.2, 0.3)
+    rgb, alpha, _ = rasterize(cloud, cam, background=bg, config=CFG)
+    ref_rgb, ref_acc = numpy_reference_rasterize(cloud, cam, bg, CFG)
+    np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alpha), ref_acc, atol=2e-3)
+
+
+def test_empty_scene_renders_background(rng):
+    cloud = make_scene(rng, n=4)
+    import dataclasses
+
+    # Push everything behind the camera.
+    cloud = dataclasses.replace(cloud, xyz=cloud.xyz + jnp.asarray([0.0, 0.0, 100.0]))
+    bg = (0.25, 0.5, 0.75)
+    rgb, alpha, _ = rasterize(cloud, make_camera(), background=bg, config=CFG)
+    np.testing.assert_allclose(np.asarray(rgb), np.broadcast_to(bg, (HEIGHT, WIDTH, 3)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-6)
+
+
+def test_single_splat_center_alpha(rng):
+    """A single isotropic splat at the optical axis: peak alpha = sigmoid(op)."""
+    import dataclasses
+
+    cloud = make_scene(rng, n=1)
+    s = 0.2
+    cloud = dataclasses.replace(
+        cloud,
+        xyz=jnp.asarray([[0.0, 0.0, 0.0]]),
+        scaling=jnp.log(jnp.full((1, 3), s)),
+        rotation=jnp.asarray([[1.0, 0.0, 0.0, 0.0]]),
+        opacity=jnp.asarray([[2.0]]),
+    )
+    cloud = dataclasses.replace(
+        cloud,
+        covariance=math3d.covariance_from_scaling_rotation(cloud.get_scaling, cloud.get_rotation),
+    )
+    cam = make_camera()
+    rgb, alpha, _ = rasterize(cloud, cam, config=CFG)
+    # Analytic alpha at the nearest pixel center, offset (0.5, 0.5) px from the
+    # projected mean: var2d = (fx*s/z)^2 + eps2d, sigma = r^2/(2 var).
+    fx = float(cam.fx)
+    var2d = (fx * s / 4.0) ** 2 + CFG.eps2d
+    sigma = 0.5 * (0.5**2 + 0.5**2) / var2d
+    expected_peak = float(jax.nn.sigmoid(2.0)) * np.exp(-sigma)
+    center = np.asarray(alpha)[HEIGHT // 2 - 2 : HEIGHT // 2 + 2, WIDTH // 2 - 2 : WIDTH // 2 + 2]
+    assert abs(center.max() - expected_peak) < 1e-3
+
+
+def test_depth_ordering(rng):
+    """A fully opaque near splat must occlude a far one."""
+    import dataclasses
+
+    cloud = make_scene(rng, n=2, sh_degree=1)
+    red = np.zeros((2, 1, 3), np.float32)
+    red[0, 0] = [(1.0 - 0.5) / sh_ops.SH_C0, -0.5 / sh_ops.SH_C0, -0.5 / sh_ops.SH_C0]
+    red[1, 0] = [-0.5 / sh_ops.SH_C0, (1.0 - 0.5) / sh_ops.SH_C0, -0.5 / sh_ops.SH_C0]
+    cloud = dataclasses.replace(
+        cloud,
+        xyz=jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0]]),  # cam z: 4 and 5
+        features_dc=jnp.asarray(red),
+        features_rest=jnp.zeros_like(cloud.features_rest),
+        scaling=jnp.log(jnp.full((2, 3), 0.3)),
+        rotation=jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]]),
+        opacity=jnp.full((2, 1), 12.0),  # ~fully opaque
+    )
+    cloud = dataclasses.replace(
+        cloud,
+        covariance=math3d.covariance_from_scaling_rotation(cloud.get_scaling, cloud.get_rotation),
+    )
+    rgb, _, _ = rasterize(cloud, make_camera(), config=CFG)
+    center = np.asarray(rgb)[HEIGHT // 2, WIDTH // 2]
+    assert center[0] > 0.8 and center[1] < 0.2  # red wins
+
+
+def test_gradients_flow_to_all_params(rng):
+    cloud = make_scene(rng, n=12)
+    cam = make_camera(width=32, height=32)
+    target = jnp.zeros((32, 32, 3))
+
+    def loss_fn(xyz, cov, opacity, features):
+        rgb, _, _ = rasterize_arrays(
+            xyz, cov, opacity, features, cam.viewmat, cam.intrinsics,
+            32, 32, cloud.sh_degree, jnp.zeros(3), CFG,
+        )
+        return jnp.mean((rgb - target) ** 2)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(
+        cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0], cloud.get_features
+    )
+    for g, name in zip(grads, ("xyz", "cov", "opacity", "features")):
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)), name
+        assert np.abs(g).max() > 0, f"no gradient signal through {name}"
+
+
+def test_gradient_matches_finite_difference(rng):
+    """Pixel-gradient check (the BASELINE.json north-star criterion, applied
+    to our own forward): analytic grad vs central differences."""
+    cloud = make_scene(rng, n=6, scale=(0.1, 0.4))
+    cam = make_camera(width=24, height=24)
+
+    def loss_fn(xyz):
+        rgb, _, _ = rasterize_arrays(
+            xyz, cloud.get_covariance(), cloud.get_opacity[:, 0], cloud.get_features,
+            cam.viewmat, cam.intrinsics, 24, 24, cloud.sh_degree, jnp.zeros(3), CFG,
+        )
+        return jnp.sum(rgb)
+
+    g = np.asarray(jax.grad(loss_fn)(cloud.xyz))
+    eps = 1e-3
+    xyz = np.asarray(cloud.xyz)
+    for (i, j) in [(0, 0), (2, 1), (4, 2)]:
+        dx = np.zeros_like(xyz)
+        dx[i, j] = eps
+        f_plus = float(loss_fn(jnp.asarray(xyz + dx)))
+        f_minus = float(loss_fn(jnp.asarray(xyz - dx)))
+        fd = (f_plus - f_minus) / (2 * eps)
+        assert abs(g[i, j] - fd) < 2e-2 * max(1.0, abs(fd)), (i, j, g[i, j], fd)
+
+
+def test_projection_culling(rng):
+    cloud = make_scene(rng, n=8)
+    cam = make_camera()
+    proj = project_gaussians(
+        cloud.xyz, cloud.get_covariance(), cam.viewmat, cam.intrinsics,
+        WIDTH, HEIGHT, CFG,
+    )
+    behind = jnp.asarray([[0.0, 0.0, -10.0]])  # behind camera (cam z < 0)
+    proj_b = project_gaussians(
+        behind, jnp.asarray([[0.01, 0, 0, 0.01, 0, 0.01]]), cam.viewmat, cam.intrinsics,
+        WIDTH, HEIGHT, CFG,
+    )
+    assert not bool(proj_b["valid"][0])
+    assert np.asarray(proj["depth"]).min() > 0
