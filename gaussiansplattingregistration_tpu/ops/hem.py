@@ -1,0 +1,372 @@
+"""Hierarchical EM (HEM) Gaussian-mixture downsampler, data-parallel JAX.
+
+Re-implementation of the reference's only first-party native component — the
+C++/OpenMP extension (`/root/reference/src/cpp_ext/src/mixture.cpp:25-333`) —
+as vectorized JAX with static shapes, so it runs on TPU and shards over
+meshes. Semantics follow the C++ faithfully:
+
+* per-parent conservative query radius = distance_delta * sqrt(lambda_max)
+  (`mixture.cpp:88`), realized as a fixed-K nearest-neighbor candidate set
+  instead of an unbounded hash-grid radius search;
+* child eligibility: color distance <= color_delta^2/2, KL divergence
+  <= distance_delta^2/2, other parents excluded (`mixture.cpp:116-136`);
+* likelihood = the *active* opacity-weighted kernel `hemLikelihoodOpacity`
+  (`mixture.cpp:54-64`): exp(-d^2/decay^2) * opacity * exp(-dcolor^2/decay^2)
+  * sqrt(det cov), clamped to [FLT_MIN, 1e8] and weighted by parent weight
+  (`mixture.cpp:155-158`);
+* responsibilities r_is = wL_si / sum_s wL_si, accumulation of
+  mean/color/cov (relative to the parent mean for stability,
+  `mixture.cpp:212`)/opacity/SH features/wrapped-normal statistics
+  (`mixture.cpp:196-244`);
+* orphans (sumLw == 0) pass through unchanged (`mixture.cpp:250-253`);
+* new parent flags ~ Bernoulli(1/hem_reduction) with an explicit PRNG key
+  (`mixture.cpp:256-259` — the C++ used a global LCG);
+* NaN / non-PSD components are culled (`mixture.cpp:262-282`) — here by
+  marking the slot dead, keeping shapes static.
+
+Deviations by design: opacities are *activated* (sigmoid) values rather than
+the raw logits the reference marshals in
+(`/root/reference/src/gui/workers/downsampling/qt_gaussian_mixture.py:42-47`);
+averaging opacity in linear space is well-defined, logit averaging is not.
+Level 0 is dropped from the result like `mixture_wrapper.cpp:15-16`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiansplattingregistration_tpu.models.parameters import GaussianMixtureParams
+from gaussiansplattingregistration_tpu.ops import knn as knn_ops
+from gaussiansplattingregistration_tpu.ops import math3d
+
+_FLT_MIN = 1.175494e-38
+_MAX_L = 1e8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MixtureState:
+    """One HEM level as fixed-size slot arrays (dead slots masked)."""
+
+    mean: jax.Array       # [N, 3]
+    color: jax.Array      # [N, 3] SH-DC colors
+    cov: jax.Array        # [N, 6] packed covariance
+    opacity: jax.Array    # [N] activated opacity
+    weight: jax.Array     # [N]
+    features: jax.Array   # [N, F] flattened SH rest
+    nvar: jax.Array       # [N, 3] normal * variance encoding
+    is_parent: jax.Array  # [N] bool
+    alive: jax.Array      # [N] bool
+
+    @property
+    def num_alive(self):
+        return jnp.sum(self.alive)
+
+
+@dataclasses.dataclass
+class MixtureLevel:
+    """Host-side compacted level (the `GaussianMixtureModel` analogue,
+    `/root/reference/src/models/gaussian_mixture_level.py:1-7`)."""
+
+    xyz: np.ndarray
+    colors: np.ndarray
+    opacities: np.ndarray
+    covariance: np.ndarray
+    features: np.ndarray
+
+
+def _det6(cov6: jax.Array) -> jax.Array:
+    a, b, c, d, e, f = (cov6[..., i] for i in range(6))
+    # | a b c |
+    # | b d e |
+    # | c e f |
+    return a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+
+
+def _inv6(cov6: jax.Array) -> jax.Array:
+    """Inverse of packed symmetric 3x3, packed again. Adjugate / det."""
+    a, b, c, d, e, f = (cov6[..., i] for i in range(6))
+    det = _det6(cov6)
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.sign(det) * 1e-30 + (det == 0) * 1e-30, det)
+    i00 = (d * f - e * e) / det
+    i01 = (c * e - b * f) / det
+    i02 = (b * e - c * d) / det
+    i11 = (a * f - c * c) / det
+    i12 = (b * c - a * e) / det
+    i22 = (a * d - b * b) / det
+    return jnp.stack([i00, i01, i02, i11, i12, i22], axis=-1)
+
+
+def _mahalanobis6(diff: jax.Array, inv6: jax.Array) -> jax.Array:
+    """diff [.., 3], inv6 [.., 6] -> diff^T Sigma^-1 diff."""
+    x, y, z = diff[..., 0], diff[..., 1], diff[..., 2]
+    a, b, c, d, e, f = (inv6[..., i] for i in range(6))
+    return (a * x * x + d * y * y + f * z * z
+            + 2.0 * (b * x * y + c * x * z + e * y * z))
+
+
+def _trace_product6(inv_p: jax.Array, cov_c: jax.Array) -> jax.Array:
+    """trace(Sigma_p^-1 Sigma_c) for packed matrices."""
+    a, b, c, d, e, f = (inv_p[..., i] for i in range(6))
+    A, B, C, D, E, F = (cov_c[..., i] for i in range(6))
+    # Row-wise dot of matching full matrices.
+    return (a * A + b * B + c * C) + (b * B + d * D + e * E) + (c * C + e * E + f * F)
+
+
+def _max_eigenvalue6(cov6: jax.Array) -> jax.Array:
+    """Largest eigenvalue of packed symmetric 3x3 (via eigh on unpacked)."""
+    vals = jnp.linalg.eigvalsh(math3d.unpack_symmetric(cov6))
+    return vals[..., -1]
+
+
+def init_mixture(
+    key: jax.Array,
+    xyz: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    cov6: jax.Array,
+    features: jax.Array,
+    hem_reduction: float,
+) -> MixtureState:
+    """Level-0 init (`mixture.cpp:287-333`): weight 1, initial normal =
+    smallest-eigenvector of the covariance scaled by variance 0.001,
+    parent flags ~ Bernoulli(1/hem_reduction)."""
+    n = xyz.shape[0]
+    _, vecs = jnp.linalg.eigh(math3d.unpack_symmetric(cov6))
+    normal = vecs[..., :, 0]  # smallest eigenvector
+    nvar = normal * 0.001
+    is_parent = jax.random.uniform(key, (n,)) < (1.0 / hem_reduction)
+    return MixtureState(
+        mean=xyz,
+        color=colors,
+        cov=cov6,
+        opacity=opacities.reshape(n),
+        weight=jnp.ones((n,), xyz.dtype),
+        features=features.reshape(n, -1),
+        nvar=nvar,
+        is_parent=is_parent,
+        alive=jnp.ones((n,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_children",))
+def hem_cluster_level(
+    key: jax.Array,
+    state: MixtureState,
+    hem_reduction: float,
+    distance_delta: float,
+    color_delta: float,
+    decay_rate: float,
+    max_children: int = 32,
+) -> MixtureState:
+    """One HEM clustering round (`createClusterLevel`, `mixture.cpp:66-285`).
+
+    Slot semantics: parent slots receive the merged component, orphan slots
+    pass through, all other slots die. Output shape equals input shape.
+    """
+    n = state.mean.shape[0]
+    k = min(max_children, n)
+
+    parent_mask = state.is_parent & state.alive
+    child_alive = state.alive
+
+    # --- candidate children per parent: fixed-K nearest neighbors ----------
+    # Push dead points far away so they never enter a neighborhood.
+    far = jnp.where(child_alive[:, None], state.mean, 1e12)
+    d2, idx = knn_ops.knn(state.mean, far, k=k)              # [N, K]
+    query_radius = distance_delta * jnp.sqrt(
+        jnp.maximum(_max_eigenvalue6(state.cov), 0.0)
+    )                                                         # [N]
+    in_radius = d2 <= (query_radius[:, None] ** 2)
+
+    c_mean = state.mean[idx]       # [N, K, 3]
+    c_color = state.color[idx]
+    c_cov = state.cov[idx]
+    c_par = state.is_parent[idx]
+    c_alive = child_alive[idx]
+
+    # --- eligibility (mixture.cpp:116-136) ---------------------------------
+    color_diff = jnp.linalg.norm(c_color - state.color[:, None, :], axis=-1)
+    ok_color = color_diff <= (color_delta * color_delta * 0.5)
+
+    inv_p = _inv6(state.cov)[:, None, :]                       # parent Sigma^-1
+    diff = c_mean - state.mean[:, None, :]
+    smd = _mahalanobis6(diff, inv_p)
+    tr = _trace_product6(inv_p, c_cov)
+    det_c = jnp.maximum(_det6(c_cov), 1e-30)
+    det_p = jnp.maximum(_det6(state.cov), 1e-30)[:, None]
+    kld = 0.5 * (smd + tr - 3.0 - jnp.log(det_c / det_p))
+    ok_kld = kld <= (distance_delta * distance_delta * 0.5)
+
+    self_idx = idx == jnp.arange(n, dtype=idx.dtype)[:, None]
+    ok_parent = (~c_par) | self_idx
+
+    eligible = (
+        in_radius & ok_color & ok_kld & ok_parent
+        & c_alive & parent_mask[:, None]
+    )
+
+    # --- likelihoods (hemLikelihoodOpacity, mixture.cpp:54-64) -------------
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    dist_w = jnp.exp(-(dist * dist) / (decay_rate * decay_rate))
+    color_w = jnp.exp(-(color_diff * color_diff) / (decay_rate * decay_rate))
+    c_opacity = state.opacity[idx]
+    L = dist_w * c_opacity * color_w * jnp.sqrt(jnp.maximum(det_c, 0.0))
+    wL = state.weight[:, None] * jnp.clip(L, _FLT_MIN, _MAX_L)
+    wL = jnp.where(eligible, wL, 0.0)
+
+    # --- responsibility denominators: sum over parents per child -----------
+    sum_lw = jnp.zeros((n,), wL.dtype).at[idx.reshape(-1)].add(wL.reshape(-1))
+    denom = sum_lw[idx]                                        # [N, K]
+    r = jnp.where(denom > 0, wL / jnp.maximum(denom, _FLT_MIN), 0.0)
+    w = r * state.weight[idx]                                  # [N, K]
+
+    # --- accumulate (mixture.cpp:186-244) ----------------------------------
+    w_s = jnp.sum(w, axis=1)                                   # [N]
+    inv_w = 1.0 / jnp.maximum(w_s, 1e-30)
+    mean_s = jnp.einsum("nk,nkc->nc", w, c_mean) * inv_w[:, None]
+    col_s = jnp.einsum("nk,nkc->nc", w, c_color) * inv_w[:, None]
+    # covariance accumulated relative to the parent mean (mixture.cpp:212)
+    rel = c_mean - state.mean[:, None, :]
+    outer = jnp.stack(
+        [
+            rel[..., 0] * rel[..., 0], rel[..., 0] * rel[..., 1],
+            rel[..., 0] * rel[..., 2], rel[..., 1] * rel[..., 1],
+            rel[..., 1] * rel[..., 2], rel[..., 2] * rel[..., 2],
+        ],
+        axis=-1,
+    )
+    sumcov = jnp.einsum("nk,nkc->nc", w, c_cov + outer)
+    mrel = mean_s - state.mean
+    mouter = jnp.stack(
+        [
+            mrel[:, 0] * mrel[:, 0], mrel[:, 0] * mrel[:, 1],
+            mrel[:, 0] * mrel[:, 2], mrel[:, 1] * mrel[:, 1],
+            mrel[:, 1] * mrel[:, 2], mrel[:, 2] * mrel[:, 2],
+        ],
+        axis=-1,
+    )
+    cov_s = sumcov * inv_w[:, None] - mouter
+    opacity_s = jnp.einsum("nk,nk->n", w, c_opacity) * inv_w
+    feat_s = jnp.einsum("nk,nkf->nf", w, state.features[idx]) * inv_w[:, None]
+
+    # wrapped-normal statistics (mixture.cpp:199-244)
+    c_nvar = state.nvar[idx]                                   # [N, K, 3]
+    c_nlen = jnp.maximum(jnp.linalg.norm(c_nvar, axis=-1), 1e-30)
+    c_normal = c_nvar / c_nlen[..., None]
+    flip = jnp.sign(jnp.sum(c_normal * state.nvar[:, None, :], axis=-1))
+    flip = jnp.where(flip == 0, 1.0, flip)
+    resultant = jnp.einsum("nk,nkc->nc", w, c_normal * flip[..., None])
+    nvar_sum = jnp.einsum("nk,nk->n", w, c_nlen)
+    R = jnp.maximum(jnp.linalg.norm(resultant, axis=-1), 1e-30)
+    variance1 = nvar_sum * inv_w
+    r_mean = jnp.clip(R * inv_w, 1e-6, 1.0)
+    variance2 = -2.0 * jnp.log(r_mean)
+    new_normal = resultant / R[:, None]
+    nvar_s = new_normal * (variance1 + variance2)[:, None]
+
+    # --- compose output slots ----------------------------------------------
+    merged_ok = parent_mask & (w_s > 0)
+    orphan = child_alive & (sum_lw == 0.0)
+
+    def pick(new, old):
+        m = merged_ok.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+
+    out_mean = pick(mean_s, state.mean)
+    out_color = pick(col_s, state.color)
+    out_cov = pick(cov_s, state.cov)
+    out_opacity = jnp.where(merged_ok, opacity_s, state.opacity)
+    out_weight = jnp.where(merged_ok, w_s, state.weight)
+    out_feat = pick(feat_s, state.features)
+    out_nvar = pick(nvar_s, state.nvar)
+
+    alive = merged_ok | orphan
+    # NaN / non-PSD culling (mixture.cpp:262-282), as a death mask.
+    det_out = _det6(out_cov)
+    bad = (
+        jnp.any(~jnp.isfinite(out_mean), axis=-1)
+        | ~jnp.isfinite(det_out)
+        | (det_out <= 0.0)
+    )
+    alive = alive & ~bad
+
+    new_parents = jax.random.uniform(key, (n,)) < (1.0 / hem_reduction)
+    return MixtureState(
+        mean=out_mean,
+        color=out_color,
+        cov=out_cov,
+        opacity=out_opacity,
+        weight=out_weight,
+        features=out_feat,
+        nvar=out_nvar,
+        is_parent=new_parents & alive,
+        alive=alive,
+    )
+
+
+def _compact(state: MixtureState) -> MixtureLevel:
+    """Device slots -> host-side compacted MixtureLevel."""
+    alive = np.asarray(state.alive)
+    return MixtureLevel(
+        xyz=np.asarray(state.mean)[alive],
+        colors=np.asarray(state.color)[alive],
+        opacities=np.asarray(state.opacity)[alive],
+        covariance=np.asarray(state.cov)[alive],
+        features=np.asarray(state.features)[alive],
+    )
+
+
+def create_mixture(
+    cloud,
+    params: GaussianMixtureParams,
+    seed: int = 0,
+    max_children: int = 32,
+) -> List[MixtureLevel]:
+    """Run `cluster_level` HEM rounds over a GaussianCloud.
+
+    Counterpart of `MixtureCreator.CreateMixture`
+    (`/root/reference/src/cpp_ext/mixture_wrapper.cpp:10-18`): returns levels
+    1..cluster_level (level 0 = the input itself is dropped, as there).
+    """
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    state = init_mixture(
+        init_key,
+        cloud.xyz,
+        cloud.get_colors,
+        cloud.get_opacity[:, 0],
+        cloud.get_covariance(),
+        cloud.features_rest.reshape(cloud.num_points, -1),
+        params.hem_reduction,
+    )
+    levels = []
+    for _ in range(params.cluster_level):
+        key, sub = jax.random.split(key)
+        state = hem_cluster_level(
+            sub, state,
+            float(params.hem_reduction),
+            float(params.distance_delta),
+            float(params.color_delta),
+            float(params.decay_rate),
+            max_children=max_children,
+        )
+        levels.append(_compact(state))
+    return levels
+
+
+def mixture_levels_to_clouds(levels: List[MixtureLevel], sh_degree: int):
+    """Convert mixture levels back to GaussianClouds (counterpart of the
+    worker loop at `qt_gaussian_mixture.py:95-116` + `from_mixture`)."""
+    from gaussiansplattingregistration_tpu.models.gaussian_cloud import GaussianCloud
+
+    out = []
+    for level in levels:
+        out.append(GaussianCloud.from_mixture(level, sh_degree))
+    return out

@@ -158,17 +158,26 @@ def _build_tile_entries(
     tiles_x: int,
     tiles_y: int,
     config: RasterizeConfig,
+    ty_offset: int = 0,
+    tiles_y_window: Optional[int] = None,
 ):
     """Emit up to C = max_tiles_per_splat (tile_id, depth, splat_id) entries
     per splat, then sort lexicographically by (tile_id, depth).
 
-    Invalid entries get tile_id = num_tiles and sort to the end. Coverage
-    beyond C tiles is truncated (bounded-coverage contract; with
+    Invalid entries get tile_id = num_window_tiles and sort to the end.
+    Coverage beyond C tiles is truncated (bounded-coverage contract; with
     radius <= 1.5 tiles a 4x4 window is exact).
+
+    `ty_offset`/`tiles_y_window` restrict binning to a horizontal tile slab
+    (rows [ty_offset, ty_offset + tiles_y_window)) with tile ids local to the
+    slab — the unit of tile-sharding across devices
+    (parallel/sharded_raster.py).
     """
     n = means2d.shape[0]
     ts = float(config.tile_size)
-    num_tiles = tiles_x * tiles_y
+    if tiles_y_window is None:
+        tiles_y_window = tiles_y
+    num_tiles = tiles_x * tiles_y_window
 
     tx0 = jnp.clip(jnp.floor((means2d[:, 0] - radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((means2d[:, 1] - radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
@@ -181,8 +190,12 @@ def _build_tile_entries(
     c = jnp.arange(C, dtype=jnp.int32)[None, :]          # [1, C]
     dx = c % w[:, None]
     dy = c // w[:, None]
-    entry_valid = (c < (w * h)[:, None]) & valid[:, None]
-    tile_id = (ty0[:, None] + dy) * tiles_x + (tx0[:, None] + dx)
+    local_ty = ty0[:, None] + dy - ty_offset
+    entry_valid = (
+        (c < (w * h)[:, None]) & valid[:, None]
+        & (local_ty >= 0) & (local_ty < tiles_y_window)
+    )
+    tile_id = local_ty * tiles_x + (tx0[:, None] + dx)
     tile_id = jnp.where(entry_valid, tile_id, num_tiles).astype(jnp.int32)
 
     flat_tiles = tile_id.reshape(-1)
@@ -266,6 +279,94 @@ def _composite_chunk(
     return rgb, acc_alpha, acc_depth
 
 
+def rasterize_tile_slab(
+    means2d: jax.Array,
+    conic: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    valid: jax.Array,
+    colors: jax.Array,
+    opacity: jax.Array,
+    tiles_x: int,
+    tiles_y: int,
+    config: RasterizeConfig,
+    ty_offset: int = 0,
+    tiles_y_window: Optional[int] = None,
+):
+    """Bin + sort + composite projected splats over a horizontal tile slab.
+
+    Returns (rgb [win_h, W, 3], alpha [win_h, W], depth [win_h, W]) where
+    win_h = tiles_y_window * tile_size and W = tiles_x * tile_size (callers
+    crop to the true image width/height). This is the per-device unit of the
+    tile-sharded multi-chip rasterizer.
+    """
+    ts = config.tile_size
+    if tiles_y_window is None:
+        tiles_y_window = tiles_y
+    num_tiles = tiles_x * tiles_y_window
+
+    op = opacity * valid.astype(opacity.dtype)
+    sorted_tiles, sorted_splats = _build_tile_entries(
+        means2d, radius, depth, valid, tiles_x, tiles_y, config,
+        ty_offset=ty_offset, tiles_y_window=tiles_y_window,
+    )
+    starts, ends = _tile_ranges(sorted_tiles, num_tiles)
+
+    K = config.max_splats_per_tile
+    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.minimum(starts[:, None] + offs, sorted_splats.shape[0] - 1)
+    tile_splats = sorted_splats[gather_idx]                     # [T, K]
+    tile_entry_valid = (starts[:, None] + offs) < ends[:, None]  # [T, K]
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_origin = jnp.stack(
+        [(tile_ids % tiles_x) * ts, (tile_ids // tiles_x + ty_offset) * ts],
+        axis=-1,
+    ).astype(means2d.dtype)
+
+    B = config.tile_chunk
+    pad = (-num_tiles) % B
+    tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
+    tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
+    tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
+
+    # Remat: recompute the per-chunk compositing in the backward pass instead
+    # of storing [B, K, P] residuals for every chunk — trades one recompute
+    # for O(T*K*P) HBM, which is what makes 1M-splat backward fit.
+    @jax.checkpoint
+    def chunk_fn(args):
+        origin, sidx, svalid = args
+        return _composite_chunk(
+            origin, sidx, svalid, means2d, conic, op, colors, depth, config
+        )
+
+    n_chunks = (num_tiles + pad) // B
+    rgb, alpha, depthmap = jax.lax.map(
+        chunk_fn,
+        (
+            tile_origin_p.reshape(n_chunks, B, 2),
+            tile_splats_p.reshape(n_chunks, B, K),
+            tile_valid_p.reshape(n_chunks, B, K),
+        ),
+    )
+    P = ts * ts
+    rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
+    alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
+    depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
+
+    def tiles_to_image(tiles, ch):
+        img = tiles.reshape(tiles_y_window, tiles_x, ts, ts, ch)
+        return img.transpose(0, 2, 1, 3, 4).reshape(
+            tiles_y_window * ts, tiles_x * ts, ch
+        )
+
+    return (
+        tiles_to_image(rgb, 3),
+        tiles_to_image(alpha[..., None], 1)[..., 0],
+        tiles_to_image(depthmap[..., None], 1)[..., 0],
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "sh_degree", "config")
 )
@@ -289,68 +390,19 @@ def rasterize_arrays(
     ts = config.tile_size
     tiles_x = -(-width // ts)
     tiles_y = -(-height // ts)
-    num_tiles = tiles_x * tiles_y
 
     proj = project_gaussians(means, cov3d, viewmat, intrinsics, width, height, config)
 
     cam_center = -(viewmat[:3, :3].T @ viewmat[:3, 3])
     colors = compute_view_colors(features, means, cam_center, sh_degree)
-    op = opacity * proj["valid"].astype(opacity.dtype)
 
-    sorted_tiles, sorted_splats = _build_tile_entries(
-        proj["means2d"], proj["radius"], proj["depth"], proj["valid"],
-        tiles_x, tiles_y, config,
+    img_rgb, img_alpha, img_depth = rasterize_tile_slab(
+        proj["means2d"], proj["conic"], proj["depth"], proj["radius"],
+        proj["valid"], colors, opacity, tiles_x, tiles_y, config,
     )
-    starts, ends = _tile_ranges(sorted_tiles, num_tiles)
-
-    K = config.max_splats_per_tile
-    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
-    gather_idx = jnp.minimum(starts[:, None] + offs, sorted_splats.shape[0] - 1)
-    tile_splats = sorted_splats[gather_idx]                     # [T, K]
-    tile_entry_valid = (starts[:, None] + offs) < ends[:, None]  # [T, K]
-
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_origin = jnp.stack(
-        [(tile_ids % tiles_x) * ts, (tile_ids // tiles_x) * ts], axis=-1
-    ).astype(means.dtype)
-
-    # Pad tile count to a multiple of the chunk size, composite chunk-wise.
-    B = config.tile_chunk
-    pad = (-num_tiles) % B
-    tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
-    tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
-    tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
-
-    def chunk_fn(args):
-        origin, sidx, svalid = args
-        return _composite_chunk(
-            origin, sidx, svalid, proj["means2d"], proj["conic"], op,
-            colors, proj["depth"], config,
-        )
-
-    n_chunks = (num_tiles + pad) // B
-    rgb, alpha, depthmap = jax.lax.map(
-        chunk_fn,
-        (
-            tile_origin_p.reshape(n_chunks, B, 2),
-            tile_splats_p.reshape(n_chunks, B, K),
-            tile_valid_p.reshape(n_chunks, B, K),
-        ),
-    )
-    # [n_chunks, B, P(, 3)] -> tile-major [T, ts, ts, ...] -> image.
-    P = ts * ts
-    rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
-    alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
-    depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
-
-    def tiles_to_image(tiles, ch):
-        img = tiles.reshape(tiles_y, tiles_x, ts, ts, ch)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ts, tiles_x * ts, ch)
-        return img[:height, :width]
-
-    img_rgb = tiles_to_image(rgb, 3)
-    img_alpha = tiles_to_image(alpha[..., None], 1)[..., 0]
-    img_depth = tiles_to_image(depthmap[..., None], 1)[..., 0]
+    img_rgb = img_rgb[:height, :width]
+    img_alpha = img_alpha[:height, :width]
+    img_depth = img_depth[:height, :width]
 
     img_rgb = img_rgb + (1.0 - img_alpha[..., None]) * background[None, None, :]
     return img_rgb, img_alpha, img_depth

@@ -1,0 +1,162 @@
+"""Photometric pose registration: optimize SE(3) through the rasterizer.
+
+The north-star capability beyond the reference (BASELINE.md): the reference
+can only *evaluate* a registration photometrically
+(`/root/reference/src/gui/workers/graphics/qt_evaluator.py`); here the
+photometric loss is differentiable end-to-end — pixel gradients flow through
+the tile rasterizer into a se(3) twist — so the pose itself is optimized by
+gradient descent (optax Adam) against target images.
+
+Pose parametrization: T(xi) = exp(xi) @ T_init with xi in se(3), so every
+iterate is exactly rigid and the optimizer works in the tangent space.
+SH rotation is skipped inside the loop (radiance is nearly pose-invariant
+over small updates and Wigner-D per step is wasted FLOPs); callers apply the
+final transform with full SH rotation via `GaussianCloud.transform`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussiansplattingregistration_tpu.models.camera import Camera
+from gaussiansplattingregistration_tpu.models.gaussian_cloud import GaussianCloud
+from gaussiansplattingregistration_tpu.ops import math3d, metrics as metrics_ops, se3
+from gaussiansplattingregistration_tpu.ops.rasterize import (
+    RasterizeConfig,
+    rasterize_arrays,
+)
+
+
+@dataclasses.dataclass
+class PhotometricResult:
+    transformation: np.ndarray
+    loss_history: List[float]
+    final_loss: float
+    num_steps: int
+
+
+def _render_with_pose(
+    xi, t_init, cloud: GaussianCloud, viewmat, intrinsics,
+    width: int, height: int, background, config: RasterizeConfig,
+    fixed_cloud: Optional[GaussianCloud] = None,
+):
+    """Render cloud transformed by exp(xi) @ t_init (optionally merged with a
+    fixed cloud) — everything differentiable w.r.t. xi."""
+    T = se3.se3_exp(xi) @ t_init
+    R = T[:3, :3]
+    means = cloud.xyz @ R.T + T[:3, 3]
+    cov = math3d.transform_covariance(cloud.covariance, R)
+    opacity = cloud.get_opacity[:, 0]
+    features = cloud.get_features
+    if fixed_cloud is not None:
+        means = jnp.concatenate([means, fixed_cloud.xyz])
+        cov = jnp.concatenate([cov, fixed_cloud.covariance])
+        opacity = jnp.concatenate([opacity, fixed_cloud.get_opacity[:, 0]])
+        features = jnp.concatenate([features, fixed_cloud.get_features])
+    rgb, _, _ = rasterize_arrays(
+        means, cov, opacity, features, viewmat, intrinsics,
+        width, height, cloud.sh_degree, background, config,
+    )
+    return rgb
+
+
+def photometric_pose_opt(
+    source: GaussianCloud,
+    cameras: Sequence[Camera],
+    target_images: Sequence[jnp.ndarray],
+    init_transform=None,
+    fixed_cloud: Optional[GaussianCloud] = None,
+    steps: int = 100,
+    learning_rate: float = 5e-3,
+    ssim_weight: float = 0.2,
+    background=(0.0, 0.0, 0.0),
+    config: RasterizeConfig = RasterizeConfig(),
+    progress_callback: Optional[Callable[[int, float], None]] = None,
+) -> PhotometricResult:
+    """Optimize the pose of `source` so its renders match `target_images`.
+
+    Loss = (1 - w) * L1 + w * (1 - SSIM), the 3DGS training loss shape.
+    All cameras must share a resolution (static shapes); one jitted step
+    renders every camera and averages the loss.
+    """
+    import optax
+
+    if init_transform is None:
+        init_transform = jnp.eye(4)
+    t_init = jnp.asarray(init_transform, jnp.float32)
+    bg = jnp.asarray(background, jnp.float32)
+
+    width, height = cameras[0].width, cameras[0].height
+    for cam in cameras:
+        if (cam.width, cam.height) != (width, height):
+            raise ValueError("all cameras must share one resolution for batching")
+    viewmats = jnp.stack([c.viewmat for c in cameras])
+    intrinsics = jnp.stack([c.intrinsics for c in cameras])
+    targets = jnp.stack([jnp.asarray(t, jnp.float32) for t in target_images])
+
+    optimizer = optax.adam(learning_rate)
+
+    def loss_fn(xi):
+        def per_camera(viewmat, intrinsic, target):
+            rgb = _render_with_pose(
+                xi, t_init, source, viewmat, intrinsic, width, height, bg,
+                config, fixed_cloud,
+            )
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+            l1 = jnp.mean(jnp.abs(rgb - target))
+            if ssim_weight > 0:
+                s = metrics_ops.ssim(rgb, target)
+                return (1.0 - ssim_weight) * l1 + ssim_weight * (1.0 - s)
+            return l1
+
+        losses = jax.lax.map(
+            lambda args: per_camera(*args), (viewmats, intrinsics, targets)
+        )
+        return jnp.mean(losses)
+
+    @jax.jit
+    def step_fn(xi, opt_state):
+        loss, grad = jax.value_and_grad(loss_fn)(xi)
+        updates, opt_state = optimizer.update(grad, opt_state, xi)
+        return optax.apply_updates(xi, updates), opt_state, loss
+
+    xi = jnp.zeros(6, jnp.float32)
+    opt_state = optimizer.init(xi)
+    history: List[float] = []
+    for i in range(steps):
+        xi, opt_state, loss = step_fn(xi, opt_state)
+        loss_val = float(loss)
+        history.append(loss_val)
+        if progress_callback is not None:
+            progress_callback(i, loss_val)
+
+    T_final = np.asarray(se3.se3_exp(xi) @ t_init, np.float64)
+    return PhotometricResult(
+        transformation=T_final,
+        loss_history=history,
+        final_loss=history[-1] if history else float("nan"),
+        num_steps=steps,
+    )
+
+
+def render_targets(
+    cloud: GaussianCloud,
+    cameras: Sequence[Camera],
+    background=(0.0, 0.0, 0.0),
+    config: RasterizeConfig = RasterizeConfig(),
+) -> List[jnp.ndarray]:
+    """Render ground-truth target images from a reference cloud (useful for
+    cloud-to-cloud photometric registration and for tests)."""
+    from gaussiansplattingregistration_tpu.ops.rasterize import rasterize
+
+    out = []
+    for cam in cameras:
+        rgb, _, _ = rasterize(cloud, cam, background=background, config=config)
+        out.append(jnp.clip(rgb, 0.0, 1.0))
+    return out
