@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 
 import numpy as np
@@ -317,15 +318,49 @@ def cmd_render(args):
     cam = _make_cli_camera(args, center, extent)
 
     bg = [float(v) for v in args.background.split(",")]
-    config = RasterizeConfig(max_splats_per_tile=args.max_splats_per_tile)
-    rgb, alpha, depth = rasterize(cloud, cam, background=bg,
-                                  scaling_modifier=args.scale, config=config)
+    config = RasterizeConfig(max_splats_per_tile=args.max_splats_per_tile,
+                             backend=args.backend)
     from PIL import Image
 
+    if args.orbit > 1:
+        # Turntable render (the interactive viewer's capability, headless:
+        # counterpart of GaussianSplatWindow's orbit loop,
+        # /root/reference/src/gui/windows/visualization/rasterization_window.py:132-190).
+        import jax.numpy as jnp2
+
+        from gaussiansplattingregistration_tpu.ops import math3d
+
+        base, ext = os.path.splitext(args.output)
+        outputs = []
+        for i in range(args.orbit):
+            angle = 2.0 * math.pi * i / args.orbit
+            R = np.asarray(math3d.axis_angle_to_rotmat(
+                jnp2.asarray([0.0, 1.0, 0.0]), jnp2.asarray(angle)))
+            rotated = cloud.transform(jnp2.asarray(
+                np.block([[R, np.zeros((3, 1))], [np.zeros((1, 3)), np.ones((1, 1))]]).astype(np.float32)
+            ), rotate_sh=False)
+            rgb, alpha, _ = rasterize(rotated, cam, background=bg,
+                                      scaling_modifier=args.scale, config=config)
+            path = f"{base}_{i:03d}{ext}"
+            arr = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(path)
+            outputs.append(path)
+        print(json.dumps({"outputs": outputs, "frames": args.orbit}))
+        return
+
+    rgb, alpha, depth = rasterize(cloud, cam, background=bg,
+                                  scaling_modifier=args.scale, config=config)
     arr = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
     Image.fromarray(arr).save(args.output)
-    print(json.dumps({"output": args.output, "width": args.width,
-                      "height": args.height, "mean_alpha": float(np.asarray(alpha).mean())}))
+    out = {"output": args.output, "width": args.width,
+           "height": args.height, "mean_alpha": float(np.asarray(alpha).mean())}
+    if args.depth_output:
+        d = np.asarray(depth)
+        dmax = d.max() if d.max() > 0 else 1.0
+        Image.fromarray((np.clip(d / dmax, 0, 1) * 255).astype(np.uint8)).save(
+            args.depth_output)
+        out["depth_output"] = args.depth_output
+    print(json.dumps(out))
 
 
 def cmd_evaluate(args):
@@ -505,6 +540,10 @@ def build_parser():
     sp.add_argument("--scale", type=float, default=1.0,
                     help="covariance scaling modifier")
     sp.add_argument("--max-splats-per-tile", type=int, default=256)
+    sp.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    sp.add_argument("--orbit", type=int, default=1,
+                    help="render N turntable frames around the scene")
+    sp.add_argument("--depth-output", help="also save a normalized depth map PNG")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("evaluate", help="photometric evaluation vs GT images")

@@ -328,13 +328,22 @@ def create_mixture(
     params: GaussianMixtureParams,
     seed: int = 0,
     max_children: int = 32,
+    backend: str = "jax",
 ) -> List[MixtureLevel]:
     """Run `cluster_level` HEM rounds over a GaussianCloud.
 
     Counterpart of `MixtureCreator.CreateMixture`
     (`/root/reference/src/cpp_ext/mixture_wrapper.cpp:10-18`): returns levels
     1..cluster_level (level 0 = the input itself is dropped, as there).
+
+    backend: "jax" (TPU, fixed-K candidates) or "native" (host C++/OpenMP,
+    exact radius search — the counterpart of the reference's extension,
+    built in native/hem.cpp; falls back to "jax" if no compiler).
     """
+    if backend == "native":
+        levels = _create_mixture_native(cloud, params, seed)
+        if levels is not None:
+            return levels
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     state = init_mixture(
@@ -358,6 +367,55 @@ def create_mixture(
             max_children=max_children,
         )
         levels.append(_compact(state))
+    return levels
+
+
+def _initial_nvar(cov6: np.ndarray) -> np.ndarray:
+    """Smallest-eigenvector of each covariance scaled by variance 0.001
+    (`mixture.cpp:318-326`)."""
+    full = np.asarray(math3d.unpack_symmetric(jnp.asarray(cov6)))
+    _, vecs = np.linalg.eigh(full)
+    return (vecs[..., :, 0] * 0.001).astype(np.float32)
+
+
+def _create_mixture_native(
+    cloud, params: GaussianMixtureParams, seed: int
+) -> Optional[List[MixtureLevel]]:
+    """Host C++/OpenMP HEM (native/hem.cpp) — Python owns the RNG so runs are
+    deterministic and testable against the JAX path."""
+    from gaussiansplattingregistration_tpu.utils import native
+
+    if native.load_library() is None:
+        return None
+    rng = np.random.default_rng(seed)
+    p = 1.0 / params.hem_reduction
+
+    mean = np.asarray(cloud.xyz, np.float32)
+    color = np.asarray(cloud.get_colors, np.float32)
+    cov6 = np.asarray(cloud.get_covariance(), np.float32)
+    opacity = np.asarray(cloud.get_opacity[:, 0], np.float32)
+    weight = np.ones(mean.shape[0], np.float32)
+    features = np.asarray(
+        cloud.features_rest.reshape(cloud.num_points, -1), np.float32
+    )
+    nvar = _initial_nvar(cov6)
+
+    levels: List[MixtureLevel] = []
+    for _ in range(params.cluster_level):
+        is_parent = (rng.random(mean.shape[0]) < p).astype(np.uint8)
+        out = native.hem_cluster_level_native(
+            mean, color, cov6, opacity, weight, features, nvar, is_parent,
+            params.distance_delta, params.color_delta, params.decay_rate,
+        )
+        if out is None:
+            return None
+        mean, color, cov6, opacity, weight, features, nvar = out
+        levels.append(
+            MixtureLevel(
+                xyz=mean.copy(), colors=color.copy(), opacities=opacity.copy(),
+                covariance=cov6.copy(), features=features.copy(),
+            )
+        )
     return levels
 
 

@@ -54,6 +54,7 @@ class RasterizeConfig:
     alpha_clip: float = 1.0 / 255.0   # minimum visible alpha (3DGS)
     alpha_max: float = 0.999          # saturating alpha (3DGS)
     transmittance_min: float = 1e-4   # early-termination threshold (3DGS)
+    backend: str = "xla"              # "xla" (lax.map chunks) | "pallas" (fused kernels)
 
 
 DEFAULT_CONFIG = RasterizeConfig()
@@ -93,24 +94,26 @@ def project_gaussians(
     tx = zc * jnp.clip(x / zc, -lim_x, lim_x)
     ty = zc * jnp.clip(y / zc, -lim_y, lim_y)
 
-    # J: Jacobian of perspective projection, [N, 2, 3].
-    zero = jnp.zeros_like(zc)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / zc, zero, -fx * tx / (zc * zc)], axis=-1),
-            jnp.stack([zero, fy / zc, -fy * ty / (zc * zc)], axis=-1),
-        ],
-        axis=-2,
-    )
+    # Camera-frame covariance: conjugation by W is LINEAR in the packed
+    # covariance, so M6 = cov6 @ A(W) is one [N,6]x[6,6] matmul (MXU) instead
+    # of N tiny 3x3 products (which XLA lowers to slow per-splat loops).
+    basis = jnp.zeros((6, 3, 3), cov3d.dtype)
+    iu = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    for s, (i, j) in enumerate(iu):
+        basis = basis.at[s, i, j].set(1.0).at[s, j, i].set(1.0)
+    conj = W[None] @ basis @ W.T[None]             # [6, 3, 3]
+    A = jnp.stack([math3d.pack_symmetric(conj[s]) for s in range(6)])  # [6, 6]
+    M = cov3d @ A                                  # [N, 6] packed W Σ Wᵀ
+    m00, m01, m02, m11, m12, m22 = (M[:, i] for i in range(6))
 
-    sigma = math3d.unpack_symmetric(cov3d)        # [N, 3, 3]
-    JW = J @ W                                     # [N, 2, 3]
-    cov2d = JW @ sigma @ jnp.swapaxes(JW, -1, -2)  # [N, 2, 2]
-    cov2d = cov2d + config.eps2d * jnp.eye(2, dtype=cov2d.dtype)
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # cov2d = J M Jᵀ with J = [[a1, 0, b1], [0, a2, b2]] — pure VPU math.
+    a1 = fx / zc
+    b1 = -fx * tx / (zc * zc)
+    a2 = fy / zc
+    b2 = -fy * ty / (zc * zc)
+    a = a1 * a1 * m00 + 2.0 * a1 * b1 * m02 + b1 * b1 * m22 + config.eps2d
+    b = a1 * a2 * m01 + a1 * b2 * m02 + a2 * b1 * m12 + b1 * b2 * m22
+    c = a2 * a2 * m11 + 2.0 * a2 * b2 * m12 + b2 * b2 * m22 + config.eps2d
     det = a * c - b * b
     det = jnp.maximum(det, 1e-12)
     inv_det = 1.0 / det
@@ -324,35 +327,54 @@ def rasterize_tile_slab(
         axis=-1,
     ).astype(means2d.dtype)
 
-    B = config.tile_chunk
-    pad = (-num_tiles) % B
-    tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
-    tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
-    tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
-
-    # Remat: recompute the per-chunk compositing in the backward pass instead
-    # of storing [B, K, P] residuals for every chunk — trades one recompute
-    # for O(T*K*P) HBM, which is what makes 1M-splat backward fit.
-    @jax.checkpoint
-    def chunk_fn(args):
-        origin, sidx, svalid = args
-        return _composite_chunk(
-            origin, sidx, svalid, means2d, conic, op, colors, depth, config
-        )
-
-    n_chunks = (num_tiles + pad) // B
-    rgb, alpha, depthmap = jax.lax.map(
-        chunk_fn,
-        (
-            tile_origin_p.reshape(n_chunks, B, 2),
-            tile_splats_p.reshape(n_chunks, B, K),
-            tile_valid_p.reshape(n_chunks, B, K),
-        ),
-    )
     P = ts * ts
-    rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
-    alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
-    depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
+    if config.backend == "pallas":
+        from gaussiansplattingregistration_tpu.ops import raster_pallas
+
+        # Pre-gather per-entry params in XLA (its VJP is the atomics-free
+        # scatter-add back to splats), then hand the fused kernel one tile
+        # per grid program.
+        rgb, alpha, depthmap = raster_pallas.composite_tiles_pallas(
+            means2d[tile_splats],
+            conic[tile_splats],
+            op[tile_splats],
+            colors[tile_splats],
+            depth[tile_splats],
+            tile_entry_valid.astype(means2d.dtype),
+            ts,
+            tiles_x,
+            ty_offset,
+            config,
+        )
+    else:
+        B = config.tile_chunk
+        pad = (-num_tiles) % B
+        tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
+        tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
+        tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
+
+        # Remat: recompute the per-chunk compositing in the backward pass
+        # instead of storing [B, K, P] residuals for every chunk — trades one
+        # recompute for O(T*K*P) HBM, which is what makes 1M-splat backward fit.
+        @jax.checkpoint
+        def chunk_fn(args):
+            origin, sidx, svalid = args
+            return _composite_chunk(
+                origin, sidx, svalid, means2d, conic, op, colors, depth, config
+            )
+
+        n_chunks = (num_tiles + pad) // B
+        rgb, alpha, depthmap = jax.lax.map(
+            chunk_fn,
+            (
+                tile_origin_p.reshape(n_chunks, B, 2),
+                tile_splats_p.reshape(n_chunks, B, K),
+                tile_valid_p.reshape(n_chunks, B, K),
+            ),
+        )
+        rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
+        alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
+        depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
 
     def tiles_to_image(tiles, ch):
         img = tiles.reshape(tiles_y_window, tiles_x, ts, ts, ch)
