@@ -78,10 +78,7 @@ def _kabsch(p: jax.Array, q: jax.Array) -> jax.Array:
     p_bar = jnp.mean(p, axis=0)
     q_bar = jnp.mean(q, axis=0)
     H = (p - p_bar).T @ (q - q_bar)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    S = jnp.diag(jnp.stack([jnp.ones(()), jnp.ones(()), d]))
-    R = Vt.T @ S @ U.T
+    R = math3d.kabsch_rotation(H)
     t = q_bar - R @ p_bar
     return math3d.make_se3(R, t)
 
@@ -260,10 +257,7 @@ def _fgr_optimize(
         p_bar = jnp.sum(p * w[:, None], axis=0) / wsum
         q_bar = jnp.sum(tgt_c * w[:, None], axis=0) / wsum
         H = ((p - p_bar) * w[:, None]).T @ (tgt_c - q_bar)
-        U, _, Vt = jnp.linalg.svd(H)
-        d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-        S = jnp.diag(jnp.stack([jnp.ones(()), jnp.ones(()), d]))
-        R = Vt.T @ S @ U.T
+        R = math3d.kabsch_rotation(H)
         t = q_bar - R @ p_bar
         delta = math3d.make_se3(R, t)
         mu_next = jnp.where(

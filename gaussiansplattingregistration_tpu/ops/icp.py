@@ -80,11 +80,9 @@ def _solve_point_to_point(p, q, w):
     pc = p - p_bar
     qc = q - q_bar
     H = (pc * w[:, None]).T @ qc  # [3, 3]
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 1.0]))
-    S = jnp.diag(jnp.stack([jnp.ones(()), jnp.ones(()), d]))
-    R = Vt.T @ S @ U.T
+    # Horn quaternion solve (math3d.kabsch_rotation) — never jnp.linalg.svd,
+    # whose TPU f32 factors are non-orthogonal enough to shrink the cloud.
+    R = math3d.kabsch_rotation(H)
     t = q_bar - R @ p_bar
     return math3d.make_se3(R, t)
 

@@ -214,10 +214,17 @@ def _build_tile_entries(
 
 
 def _tile_ranges(sorted_tiles: jax.Array, num_tiles: int):
-    """Start/end offsets of each tile's entry run in the sorted array."""
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tiles, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tiles, tids, side="right").astype(jnp.int32)
+    """Start/end offsets of each tile's entry run in the sorted array.
+
+    One scatter-add histogram + exclusive cumsum — much faster on TPU than
+    binary-searching (searchsorted lowers to a sequential while-loop).
+    Invalid entries carry tile_id == num_tiles and land in the overflow
+    bucket.
+    """
+    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[sorted_tiles].add(1)
+    counts = counts[:num_tiles]
+    ends = jnp.cumsum(counts).astype(jnp.int32)
+    starts = (ends - counts).astype(jnp.int32)
     return starts, ends
 
 
@@ -332,14 +339,19 @@ def rasterize_tile_slab(
         from gaussiansplattingregistration_tpu.ops import raster_pallas
 
         # Pre-gather per-entry params in XLA (its VJP is the atomics-free
-        # scatter-add back to splats), then hand the fused kernel one tile
-        # per grid program.
+        # scatter-add back to splats). One wide packed gather instead of six
+        # row gathers — TPU gathers are per-row latency-bound, so fusing the
+        # columns is ~6x cheaper; the column slices below are free views.
+        packed = jnp.concatenate(
+            [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
+        )                                                     # [N, 10]
+        g = packed[tile_splats]                               # [T, K, 10]
         rgb, alpha, depthmap = raster_pallas.composite_tiles_pallas(
-            means2d[tile_splats],
-            conic[tile_splats],
-            op[tile_splats],
-            colors[tile_splats],
-            depth[tile_splats],
+            g[..., 0:2],
+            g[..., 2:5],
+            g[..., 5],
+            g[..., 6:9],
+            g[..., 9],
             tile_entry_valid.astype(means2d.dtype),
             ts,
             tiles_x,

@@ -114,3 +114,27 @@ def test_inverse_sigmoid():
     np.testing.assert_allclose(
         np.asarray(jax.nn.sigmoid(math3d.inverse_sigmoid(x))), np.asarray(x), atol=1e-6
     )
+
+
+def test_kabsch_rotation_recovers_rotation(rng):
+    # Exact-correspondence correlation matrix must recover the rotation
+    # (and stay exactly orthogonal — unlike jnp.linalg.svd on TPU f32).
+    q = random_quats(rng, 20)
+    R_true = np.asarray(math3d.quat_to_rotmat(jnp.asarray(q)))  # [20, 3, 3]
+    p = rng.normal(size=(20, 500, 3)).astype(np.float32)
+    tgt = np.einsum("nij,nkj->nki", R_true, p)
+    H = np.einsum("nki,nkj->nij", p, tgt)  # sum p q^T
+    R = np.asarray(math3d.kabsch_rotation(jnp.asarray(H.astype(np.float32))))
+    np.testing.assert_allclose(R, R_true, atol=5e-4)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-5)
+    assert np.all(np.linalg.det(R) > 0.99)
+
+
+def test_kabsch_rotation_reflection_case(rng):
+    # Degenerate/noisy H with negative determinant must still give a proper
+    # rotation (Horn's method optimizes over rotations only).
+    H = np.diag([1.0, 0.5, -2.0]).astype(np.float32)
+    R = np.asarray(math3d.kabsch_rotation(jnp.asarray(H)))
+    assert np.linalg.det(R) > 0.99
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
