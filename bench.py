@@ -56,10 +56,12 @@ def main():
     f = WIDTH / (2 * math.tan(math.radians(70) / 2))
     cam = Camera.create(np.eye(3), [0.0, 0.0, 3.0], f, f, WIDTH, HEIGHT)
 
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     config = RasterizeConfig(
         max_tiles_per_splat=4,       # tiny splats: 2x2 tile window is exact
         max_splats_per_tile=512,
         tile_chunk=32,
+        backend=backend,
     )
 
     means_d = jnp.asarray(xyz)

@@ -11,10 +11,15 @@ Pipeline (all static shapes, jit/grad/shard-friendly):
 1. projection: EWA splatting Σ2D = J W Σ Wᵀ Jᵀ (+0.3 px low-pass as 3DGS);
 2. tile binning: each splat emits up to `max_tiles_per_splat` (tile, depth)
    entries (bounded coverage instead of CUDA's dynamic duplication);
-3. a single lexicographic `lax.sort` over (tile, depth) replaces the CUDA
-   radix sort;
-4. per-tile top-K gather (`max_splats_per_tile` front-most splats — the
-   static-shape analogue of early termination);
+3. ONE `lax.sort` over a fused u32 key (tile id | order-preserving
+   float-bit depth) replaces the CUDA 64-bit radix sort; per-tile ranks come
+   from a cummax over run boundaries and land in a dense [tiles, K] entry
+   table via a unique-index scatter (`_build_tile_table`) — no per-tile
+   binary search, and truncation keeps the front-most K splats per tile;
+4. a single wide gather pulls per-entry params into the table layout
+   (`gather_entries`); its custom VJP inverts the table with one more sort
+   and GATHERS cotangents — XLA's duplicate-index scatter-add (~100 ns/row,
+   serialized on TPU) never appears in the backward;
 5. compositing: instead of a sequential front-to-back loop with early exit,
    per-tile transmittance is an exclusive cumulative sum of log(1 - alpha)
    along the depth axis — a parallel scan the VPU eats — followed by a
@@ -24,8 +29,8 @@ Pipeline (all static shapes, jit/grad/shard-friendly):
 
 The whole forward is differentiable by construction (sort indices are
 integer-only, gradients flow through the gathers), so `jax.grad` provides the
-backward pass; a hand-written Pallas kernel for the hot composite stage lives
-in ops/raster_pallas.py.
+backward pass; hand-written Pallas kernels for the hot composite stage live
+in ops/raster_pallas.py (backend="pallas").
 """
 
 from __future__ import annotations
@@ -153,7 +158,7 @@ def compute_view_colors(
     return jnp.maximum(rgb, 0.0)
 
 
-def _build_tile_entries(
+def _build_tile_table(
     means2d: jax.Array,
     radius: jax.Array,
     depth: jax.Array,
@@ -164,17 +169,29 @@ def _build_tile_entries(
     ty_offset: int = 0,
     tiles_y_window: Optional[int] = None,
 ):
-    """Emit up to C = max_tiles_per_splat (tile_id, depth, splat_id) entries
-    per splat, then sort lexicographically by (tile_id, depth).
+    """Build the per-tile entry table [num_tiles, K] of depth-sorted entry ids.
 
-    Invalid entries get tile_id = num_window_tiles and sort to the end.
-    Coverage beyond C tiles is truncated (bounded-coverage contract; with
-    radius <= 1.5 tiles a 4x4 window is exact).
+    Each splat emits up to C = max_tiles_per_splat entries (entry id
+    = splat_id * C + c); entries are sorted ONCE by a fused u32 key
+    (tile_id in the high bits, monotonically quantized depth in the low
+    bits — the float-bit trick: for positive f32, bit pattern order equals
+    value order), then each entry's rank within its tile run is derived from
+    a cummax over run boundaries and the entry id is scattered into
+    table[tile, rank] (unique destinations, no collisions — the TPU-fast
+    scatter mode). Replaces CUDA-style 64-bit radix sort + per-tile range
+    binary search with one 32-bit sort + O(E) vector ops.
+
+    Invalid entries get tile_id = num_tiles and are dropped. Coverage beyond
+    C tiles and tile occupancy beyond K are truncated (bounded-coverage
+    contract; truncation keeps the FRONT-most K because the sort is by
+    depth).
 
     `ty_offset`/`tiles_y_window` restrict binning to a horizontal tile slab
-    (rows [ty_offset, ty_offset + tiles_y_window)) with tile ids local to the
-    slab — the unit of tile-sharding across devices
+    (rows [ty_offset, ty_offset + tiles_y_window)) with tile ids local to
+    the slab — the unit of tile-sharding across devices
     (parallel/sharded_raster.py).
+
+    Returns (table [num_tiles, K] int32 entry ids with -1 for empty slots).
     """
     n = means2d.shape[0]
     ts = float(config.tile_size)
@@ -201,62 +218,116 @@ def _build_tile_entries(
     tile_id = local_ty * tiles_x + (tx0[:, None] + dx)
     tile_id = jnp.where(entry_valid, tile_id, num_tiles).astype(jnp.int32)
 
-    flat_tiles = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth[:, None], (n, C)).reshape(-1)
-    flat_splat = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, C)
-    ).reshape(-1)
+    # Fused sort key: tile id (high bits) | quantized depth (low bits).
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    if depth_bits < 8:
+        raise ValueError(f"too many tiles for fused sort key: {num_tiles}")
+    # Positive-float bit trick: keep the top `depth_bits` bits of the f32
+    # pattern (sign 0 for depth > near) — order-preserving quantization.
+    dq = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth, 0.0).astype(jnp.float32), jnp.uint32
+    ) >> (32 - depth_bits)
+    key = (tile_id.astype(jnp.uint32) << depth_bits) | dq[:, None]
 
-    sorted_tiles, _, sorted_splats = jax.lax.sort(
-        (flat_tiles, flat_depth, flat_splat), num_keys=2
+    flat_key = key.reshape(-1)
+    E = n * C
+    flat_entry = jnp.arange(E, dtype=jnp.int32)
+
+    sorted_key, sorted_entry = jax.lax.sort((flat_key, flat_entry), num_keys=1)
+    sorted_tiles = (sorted_key >> depth_bits).astype(jnp.int32)
+
+    # Rank within tile run: distance to the run's first index (cummax trick).
+    idx = jnp.arange(E, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_tiles[1:] != sorted_tiles[:-1]]
     )
-    return sorted_tiles, sorted_splats
+    seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+    rank = idx - seg_start
+
+    K = config.max_splats_per_tile
+    dest = jnp.where(
+        (rank < K) & (sorted_tiles < num_tiles),
+        sorted_tiles * K + rank,
+        num_tiles * K,            # out of bounds -> dropped (keeps uniqueness)
+    )
+    table = (
+        jnp.full(num_tiles * K, -1, jnp.int32)
+        .at[dest]
+        .set(sorted_entry, unique_indices=True, mode="drop")
+    )
+    return table.reshape(num_tiles, K), sorted_entry, dest
 
 
-def _tile_ranges(sorted_tiles: jax.Array, num_tiles: int):
-    """Start/end offsets of each tile's entry run in the sorted array.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_entries(
+    packed: jax.Array,        # [N, F]
+    table: jax.Array,         # [T, K] entry ids or -1
+    sorted_entry: jax.Array,  # [N*C] entry ids in sorted-key order
+    dest: jax.Array,          # [N*C] flat table slot per sorted entry (or T*K)
+    C: int,
+) -> jax.Array:
+    """Gather per-splat rows [N, F] into the tile table layout [T, K, F].
 
-    One scatter-add histogram + exclusive cumsum — much faster on TPU than
-    binary-searching (searchsorted lowers to a sequential while-loop).
-    Invalid entries carry tile_id == num_tiles and land in the overflow
-    bucket.
+    table holds entry ids in [0, N*C) or -1; entry id // C is the splat.
+    The custom VJP avoids XLA's scatter entirely (TPU scatters run ~100 ns
+    per row, serialized): it inverts the entry->slot mapping with one more
+    u32 sort of the (sorted_entry, dest) pairs produced by the table build,
+    then GATHERS each entry's cotangent row from the cotangent table and
+    reduces the C copies per splat with a reshape-sum. Sort + gather are
+    both parallel-friendly on TPU; the backward costs ~the same as the
+    forward instead of ~100x more.
     """
-    counts = jnp.zeros(num_tiles + 1, jnp.int32).at[sorted_tiles].add(1)
-    counts = counts[:num_tiles]
-    ends = jnp.cumsum(counts).astype(jnp.int32)
-    starts = (ends - counts).astype(jnp.int32)
-    return starts, ends
+    splat = jnp.maximum(table, 0) // C
+    return packed[splat] * (table >= 0).astype(packed.dtype)[..., None]
+
+
+def _gather_entries_fwd(packed, table, sorted_entry, dest, C):
+    out = gather_entries(packed, table, sorted_entry, dest, C)
+    num_slots = table.shape[0] * table.shape[1]
+    return out, (sorted_entry, dest, packed.shape[0], num_slots)
+
+
+def _gather_entries_bwd(C, residuals, ct):
+    sorted_entry, dest, n, num_slots = residuals
+    F = ct.shape[-1]
+    # Invert entry -> slot by sorting the pairs by entry id (every entry id
+    # in [0, N*C) appears exactly once in sorted_entry).
+    _, slot_by_entry = jax.lax.sort((sorted_entry, dest), num_keys=1)
+    ct_flat = ct.reshape(-1, F)
+    safe = jnp.minimum(slot_by_entry, num_slots - 1)
+    d_entry = ct_flat[safe] * (slot_by_entry < num_slots).astype(ct.dtype)[:, None]
+    d_packed = d_entry.reshape(n, C, F).sum(axis=1)
+    return d_packed, None, None, None
+
+
+gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
 
 
 def _composite_chunk(
     tile_origin: jax.Array,   # [B, 2] pixel origin of each tile
-    splat_idx: jax.Array,     # [B, K]
+    g: jax.Array,             # [B, K, 10] gathered entry params
     entry_valid: jax.Array,   # [B, K]
-    means2d: jax.Array,       # [N, 2]
-    conic: jax.Array,         # [N, 3]
-    opacity: jax.Array,       # [N]
-    colors: jax.Array,        # [N, 3]
-    depth: jax.Array,         # [N]
     config: RasterizeConfig,
 ):
     """Front-to-back alpha compositing of K depth-sorted splats over a chunk
     of B tiles (tile_size² pixels each) via exclusive log-transmittance cumsum.
 
+    `g` packs (means2d 2, conic 3, opacity 1, color 3, depth 1) per entry.
     Returns (rgb [B, P, 3], alpha [B, P], depth [B, P]) with P = tile_size².
     """
     ts = config.tile_size
-    B, K = splat_idx.shape
-
-    m = means2d[splat_idx]          # [B, K, 2]
-    co = conic[splat_idx]           # [B, K, 3]
-    op = opacity[splat_idx]         # [B, K]
-    col = colors[splat_idx]         # [B, K, 3]
-    dep = depth[splat_idx]          # [B, K]
+    B, K = entry_valid.shape
+    m = g[..., 0:2]                 # [B, K, 2]
+    co = g[..., 2:5]                # [B, K, 3]
+    op = g[..., 5]                  # [B, K]
+    col = g[..., 6:9]               # [B, K, 3]
+    dep = g[..., 9]                 # [B, K]
 
     # Pixel centers of the tile, [P, 2].
     py, px = jnp.meshgrid(
-        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
-        jnp.arange(ts, dtype=means2d.dtype) + 0.5,
+        jnp.arange(ts, dtype=m.dtype) + 0.5,
+        jnp.arange(ts, dtype=m.dtype) + 0.5,
         indexing="ij",
     )
     pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # [P, 2]
@@ -316,17 +387,11 @@ def rasterize_tile_slab(
     num_tiles = tiles_x * tiles_y_window
 
     op = opacity * valid.astype(opacity.dtype)
-    sorted_tiles, sorted_splats = _build_tile_entries(
+    table, sorted_entry, dest = _build_tile_table(
         means2d, radius, depth, valid, tiles_x, tiles_y, config,
         ty_offset=ty_offset, tiles_y_window=tiles_y_window,
-    )
-    starts, ends = _tile_ranges(sorted_tiles, num_tiles)
-
-    K = config.max_splats_per_tile
-    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
-    gather_idx = jnp.minimum(starts[:, None] + offs, sorted_splats.shape[0] - 1)
-    tile_splats = sorted_splats[gather_idx]                     # [T, K]
-    tile_entry_valid = (starts[:, None] + offs) < ends[:, None]  # [T, K]
+    )                                                         # [T, K]
+    tile_entry_valid = table >= 0
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_origin = jnp.stack(
@@ -334,35 +399,29 @@ def rasterize_tile_slab(
         axis=-1,
     ).astype(means2d.dtype)
 
+    # One wide packed gather instead of six row gathers — TPU gathers are
+    # per-row latency-bound, so fusing the columns is ~6x cheaper. Its custom
+    # VJP is the unique-index scatter (no duplicate-index serialization).
+    packed = jnp.concatenate(
+        [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
+    )                                                         # [N, 10]
+    g = gather_entries(
+        packed, table, sorted_entry, dest, config.max_tiles_per_splat
+    )                                                         # [T, K, 10]
+
     P = ts * ts
+    K = config.max_splats_per_tile
     if config.backend == "pallas":
         from gaussiansplattingregistration_tpu.ops import raster_pallas
 
-        # Pre-gather per-entry params in XLA (its VJP is the atomics-free
-        # scatter-add back to splats). One wide packed gather instead of six
-        # row gathers — TPU gathers are per-row latency-bound, so fusing the
-        # columns is ~6x cheaper; the column slices below are free views.
-        packed = jnp.concatenate(
-            [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
-        )                                                     # [N, 10]
-        g = packed[tile_splats]                               # [T, K, 10]
         rgb, alpha, depthmap = raster_pallas.composite_tiles_pallas(
-            g[..., 0:2],
-            g[..., 2:5],
-            g[..., 5],
-            g[..., 6:9],
-            g[..., 9],
-            tile_entry_valid.astype(means2d.dtype),
-            ts,
-            tiles_x,
-            ty_offset,
-            config,
+            g, tile_entry_valid.astype(means2d.dtype), tile_origin, ts, config
         )
     else:
         B = config.tile_chunk
         pad = (-num_tiles) % B
         tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
-        tile_splats_p = jnp.pad(tile_splats, ((0, pad), (0, 0)))
+        g_p = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
         tile_valid_p = jnp.pad(tile_entry_valid, ((0, pad), (0, 0)))
 
         # Remat: recompute the per-chunk compositing in the backward pass
@@ -370,17 +429,15 @@ def rasterize_tile_slab(
         # recompute for O(T*K*P) HBM, which is what makes 1M-splat backward fit.
         @jax.checkpoint
         def chunk_fn(args):
-            origin, sidx, svalid = args
-            return _composite_chunk(
-                origin, sidx, svalid, means2d, conic, op, colors, depth, config
-            )
+            origin, gc, svalid = args
+            return _composite_chunk(origin, gc, svalid, config)
 
         n_chunks = (num_tiles + pad) // B
         rgb, alpha, depthmap = jax.lax.map(
             chunk_fn,
             (
                 tile_origin_p.reshape(n_chunks, B, 2),
-                tile_splats_p.reshape(n_chunks, B, K),
+                g_p.reshape(n_chunks, B, K, 10),
                 tile_valid_p.reshape(n_chunks, B, K),
             ),
         )
