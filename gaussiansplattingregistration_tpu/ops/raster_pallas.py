@@ -55,6 +55,7 @@ from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig
 
 _CHUNK = 128          # K entries streamed per unrolled chunk (lane multiple)
 _NCH = 16             # packed param channels (11 used, padded to sublane 16)
+_BLOCK = 8            # tiles per grid step (amortizes ~6us/step grid overhead)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -137,54 +138,71 @@ def _vals_rows(pc):
     return jnp.concatenate([pc[6:10, :], jnp.ones_like(pc[0:1, :])], axis=0)
 
 
-def _fwd_kernel(p_ref, out_ref, *, ts: int, n_chunks: int,
-                config: RasterizeConfig):
+def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int, n_chunks: int,
+                block: int, config: RasterizeConfig):
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
 
-    acc = jnp.zeros((P, 5), jnp.float32)
-    carry_T = jnp.ones((P, 1), jnp.float32)
+    # `block` tiles per grid step: TPU grid steps run sequentially at ~6us
+    # fixed cost each, so batching tiles amortizes the step overhead while
+    # keeping per-tile early termination (the b-loop is python-unrolled).
+    for b in range(block):
+        cnt = cnt_ref[b, 0]            # valid entries are a rank-contiguous
+        acc = jnp.zeros((P, 5), jnp.float32)   # prefix of the tile row
+        carry_T = jnp.ones((P, 1), jnp.float32)
 
-    for c in range(n_chunks):
-        def chunk_body(carry, c=c):
-            acc, carry_T = carry
-            pc = p_ref[0, :, c * S:(c + 1) * S]                # [16, S] static
-            alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
-            incl = _lane_cumprod(1.0 - alpha)
-            T = carry_T * _excl_from_incl(incl)
-            w = jnp.where(T > config.transmittance_min, alpha * T, 0.0)
-            acc = acc + jax.lax.dot_general(
-                w, _vals_rows(pc),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        for c in range(n_chunks):
+            def chunk_body(carry, b=b, c=c):
+                acc, carry_T = carry
+                pc = p_ref[b, :, c * S:(c + 1) * S]            # [16, S] static
+                alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
+                incl = _lane_cumprod(1.0 - alpha)
+                T = carry_T * _excl_from_incl(incl)
+                w = jnp.where(T > config.transmittance_min, alpha * T, 0.0)
+                acc = acc + jax.lax.dot_general(
+                    w, _vals_rows(pc),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                carry_T = carry_T * incl[:, S - 1:S]
+                return acc, carry_T
+
+            # Skip the chunk once every pixel saturates (3DGS early
+            # termination) or past the tile's occupied prefix (invalid
+            # entries have alpha 0, so they can never saturate the scan).
+            acc, carry_T = jax.lax.cond(
+                (jnp.max(carry_T) > config.transmittance_min)
+                & (cnt > c * S),
+                chunk_body,
+                lambda carry: carry,
+                (acc, carry_T),
             )
-            carry_T = carry_T * incl[:, S - 1:S]
-            return acc, carry_T
 
-        # Early termination: skip remaining chunks once every pixel saturates.
-        acc, carry_T = jax.lax.cond(
-            jnp.max(carry_T) > config.transmittance_min,
-            chunk_body,
-            lambda carry: carry,
-            (acc, carry_T),
-        )
-
-    out_ref[0, :, 0:5] = acc
-    out_ref[0, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
+        out_ref[b, :, 0:5] = acc
+        out_ref[b, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
 
 
-def _bwd_kernel(p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
-                config: RasterizeConfig):
+def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
+                block: int, config: RasterizeConfig):
     """Single kernel: unrolled forward sweep keeps per-chunk transmittance
-    carries as SSA values; unrolled reverse sweep accumulates the suffix
-    statistic and writes per-entry gradients."""
+    carries as SSA values; unrolled reverse sweep consumes them while
+    accumulating the gradient suffix statistic. `block` tiles per grid step
+    amortize the fixed per-step cost (see _fwd_kernel)."""
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
 
+    for b in range(block):
+        _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
+                  config)
+
+
+def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
+              config):
+    cnt = cnt_ref[b, 0]
     # ---- forward sweep: per-chunk entry transmittance carries -------------
     carries = []
     carry_T = jnp.ones((P, 1), jnp.float32)
@@ -192,27 +210,27 @@ def _bwd_kernel(p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
         carries.append(carry_T)
 
         def heavy(cT, c=c):
-            pc = p_ref[0, :, c * S:(c + 1) * S]
+            pc = p_ref[b, :, c * S:(c + 1) * S]
             alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
             incl = _lane_cumprod(1.0 - alpha)
             return cT * incl[:, S - 1:S]
 
         carry_T = jax.lax.cond(
-            jnp.max(carry_T) > config.transmittance_min,
+            (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
             heavy,
             lambda cT: cT,
             carry_T,
         )
 
     # ---- reverse sweep: suffix statistic + gradients ----------------------
-    g_rgb = ct_ref[0, :, 0:3]                                  # [P, 3]
-    g_depth = ct_ref[0, :, 3:4]                                # [P, 1]
-    G5 = ct_ref[0, :, 0:5]                                     # [P, 5]
+    g_rgb = ct_ref[b, :, 0:3]                                  # [P, 3]
+    g_depth = ct_ref[b, :, 3:4]                                # [P, 1]
+    G5 = ct_ref[b, :, 0:5]                                     # [P, 5]
 
     suffix = jnp.zeros((P, 1), jnp.float32)
     for c in reversed(range(n_chunks)):
         carry_T = carries[c]
-        pc = p_ref[0, :, c * S:(c + 1) * S]
+        pc = p_ref[b, :, c * S:(c + 1) * S]
 
         def heavy(sfx, pc=pc, carry_T=carry_T):
             alpha, raw_alpha, exp_term, sigma, dx, dy = _chunk_terms(
@@ -272,9 +290,74 @@ def _bwd_kernel(p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
             return jnp.zeros((_NCH, S), jnp.float32), sfx
 
         dchunk, suffix = jax.lax.cond(
-            jnp.max(carry_T) > config.transmittance_min, heavy, skip, suffix
+            (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
+            heavy, skip, suffix,
         )
-        d_ref[0, :, c * S:(c + 1) * S] = dchunk
+        d_ref[b, :, c * S:(c + 1) * S] = dchunk
+
+
+# --------------------------------------------------------------------------
+# Tile-table build: contiguous slice-gather kernel
+# --------------------------------------------------------------------------
+
+
+def _table_slice_kernel(starts_ref, counts_ref, se_ref, table_ref,
+                        scratch_ref, sem, *, K: int, block: int, E: int):
+    """table[t, :] = sorted_entry[starts[t] : starts[t] + K], masked to -1
+    past counts[t].
+
+    The per-tile entry runs are CONTIGUOUS in the depth-sorted entry array,
+    so each tile's row is one dynamic-offset DMA from HBM — this replaces an
+    XLA scatter of E rows (~5 ns/row serialized) with T0 sequential-friendly
+    2-4 KB copies. `block` DMAs are issued together and waited as a batch.
+    """
+    t0 = pl.program_id(0) * block
+    dmas = []
+    for b in range(block):
+        start = jnp.minimum(starts_ref[t0 + b], E - K)
+        dma = pltpu.make_async_copy(
+            se_ref.at[pl.ds(start, K)],
+            scratch_ref.at[b],
+            sem.at[b],
+        )
+        dma.start()
+        dmas.append(dma)
+    for b in range(block):
+        dmas[b].wait()
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, K), 1)
+    cnt = counts_ref[pl.ds(t0, block)]
+    table_ref[...] = jnp.where(col < cnt[:, None], scratch_ref[...], -1)
+
+
+def build_table_from_runs(sorted_entry, starts, counts, num_tiles: int,
+                          K: int):
+    """[T, K] int32 table of depth-ordered entry ids (-1 = empty slot)."""
+    E = max(sorted_entry.shape[0], K)
+    sorted_entry = _pad_axis(sorted_entry, E, 0)   # tiny scenes: E >= K
+    B = _BLOCK
+    T_pad = ((num_tiles + B - 1) // B) * B
+    starts_p = _pad_axis(starts, T_pad, 0)
+    counts_p = _pad_axis(counts, T_pad, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T_pad // B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((B, K), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.int32),
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+    )
+    kernel = functools.partial(_table_slice_kernel, K=K, block=B, E=E)
+    table = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, K), jnp.int32),
+        interpret=_interpret(),
+        compiler_params=_params(),
+    )(starts_p, counts_p, sorted_entry)
+    return table[:num_tiles]
 
 
 # --------------------------------------------------------------------------
@@ -289,6 +372,11 @@ def _pad_axis(x, size, axis):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _tile_counts(valid):
+    """[T, 1] int32 occupied-prefix length per tile (ranks are contiguous)."""
+    return jnp.sum(valid > 0, axis=1, dtype=jnp.int32)[:, None]
 
 
 def _pack_params(g, valid, tile_origin, K_pad):
@@ -321,25 +409,30 @@ def _fwd_impl(g, valid, tile_origin, ts, config):
     S = _CHUNK
     K_pad = ((K + S - 1) // S) * S
     n_chunks = K_pad // S
+    B = _BLOCK
+    T_pad = ((T0 + B - 1) // B) * B
 
-    params = _pack_params(g, valid, tile_origin, K_pad)
+    params = _pad_axis(_pack_params(g, valid, tile_origin, K_pad), T_pad, 0)
+    counts = _pad_axis(_tile_counts(valid), T_pad, 0)
     kernel = functools.partial(
-        _fwd_kernel, ts=ts, n_chunks=n_chunks, config=config
+        _fwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config
     )
     out = pl.pallas_call(
         kernel,
-        grid=(T0,),
+        grid=(T_pad // B,),
         in_specs=[
-            pl.BlockSpec((1, _NCH, K_pad), lambda t: (t, 0, 0),
+            pl.BlockSpec((B, 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T0, P, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
-    )(params)
-    return out[:, :, 0:3], out[:, :, 4], out[:, :, 3]
+    )(counts, params)
+    return out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3]
 
 
 def _fwd_rule(g, valid, tile_origin, ts, config):
@@ -355,8 +448,11 @@ def _bwd_rule(ts, config, residuals, cotangents):
     S = _CHUNK
     K_pad = ((K + S - 1) // S) * S
     n_chunks = K_pad // S
+    B = _BLOCK
+    T_pad = ((T0 + B - 1) // B) * B
 
-    params = _pack_params(g, valid, tile_origin, K_pad)
+    params = _pad_axis(_pack_params(g, valid, tile_origin, K_pad), T_pad, 0)
+    counts = _pad_axis(_tile_counts(valid), T_pad, 0)
     ct = jnp.concatenate(
         [
             g_rgb,
@@ -366,27 +462,30 @@ def _bwd_rule(ts, config, residuals, cotangents):
         ],
         axis=-1,
     )
+    ct = _pad_axis(ct, T_pad, 0)
 
     kernel = functools.partial(
-        _bwd_kernel, ts=ts, n_chunks=n_chunks, config=config
+        _bwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config
     )
     d_params = pl.pallas_call(
         kernel,
-        grid=(T0,),
+        grid=(T_pad // B,),
         in_specs=[
-            pl.BlockSpec((1, _NCH, K_pad), lambda t: (t, 0, 0),
+            pl.BlockSpec((B, 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 8), lambda t: (t, 0, 0),
+            pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _NCH, K_pad), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T0, _NCH, K_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, _NCH, K_pad), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
-    )(params, ct)
+    )(counts, params, ct)
 
-    d_rows = jnp.transpose(d_params[:, :, :K], (0, 2, 1))      # [T, K, 16]
+    d_rows = jnp.transpose(d_params[:T0, :, :K], (0, 2, 1))    # [T, K, 16]
     # Tile-local means shift by a constant per tile: d(local)/d(global) = 1.
     d_g = d_rows[..., 0:10]
     return d_g, jnp.zeros_like(valid), jnp.zeros_like(tile_origin)
