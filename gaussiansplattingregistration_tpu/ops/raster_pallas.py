@@ -297,70 +297,6 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
 
 
 # --------------------------------------------------------------------------
-# Tile-table build: contiguous slice-gather kernel
-# --------------------------------------------------------------------------
-
-
-def _table_slice_kernel(starts_ref, counts_ref, se_ref, table_ref,
-                        scratch_ref, sem, *, K: int, block: int, E: int):
-    """table[t, :] = sorted_entry[starts[t] : starts[t] + K], masked to -1
-    past counts[t].
-
-    The per-tile entry runs are CONTIGUOUS in the depth-sorted entry array,
-    so each tile's row is one dynamic-offset DMA from HBM — this replaces an
-    XLA scatter of E rows (~5 ns/row serialized) with T0 sequential-friendly
-    2-4 KB copies. `block` DMAs are issued together and waited as a batch.
-    """
-    t0 = pl.program_id(0) * block
-    dmas = []
-    for b in range(block):
-        start = jnp.minimum(starts_ref[t0 + b], E - K)
-        dma = pltpu.make_async_copy(
-            se_ref.at[pl.ds(start, K)],
-            scratch_ref.at[b],
-            sem.at[b],
-        )
-        dma.start()
-        dmas.append(dma)
-    for b in range(block):
-        dmas[b].wait()
-    col = jax.lax.broadcasted_iota(jnp.int32, (block, K), 1)
-    cnt = counts_ref[pl.ds(t0, block)]
-    table_ref[...] = jnp.where(col < cnt[:, None], scratch_ref[...], -1)
-
-
-def build_table_from_runs(sorted_entry, starts, counts, num_tiles: int,
-                          K: int):
-    """[T, K] int32 table of depth-ordered entry ids (-1 = empty slot)."""
-    E = max(sorted_entry.shape[0], K)
-    sorted_entry = _pad_axis(sorted_entry, E, 0)   # tiny scenes: E >= K
-    B = _BLOCK
-    T_pad = ((num_tiles + B - 1) // B) * B
-    starts_p = _pad_axis(starts, T_pad, 0)
-    counts_p = _pad_axis(counts, T_pad, 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T_pad // B,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((B, K), lambda t, *_: (t, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((B, K), jnp.int32),
-            pltpu.SemaphoreType.DMA((B,)),
-        ],
-    )
-    kernel = functools.partial(_table_slice_kernel, K=K, block=B, E=E)
-    table = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_pad, K), jnp.int32),
-        interpret=_interpret(),
-        compiler_params=_params(),
-    )(starts_p, counts_p, sorted_entry)
-    return table[:num_tiles]
-
-
-# --------------------------------------------------------------------------
 # XLA-side packing and the public op with custom VJP
 # --------------------------------------------------------------------------
 

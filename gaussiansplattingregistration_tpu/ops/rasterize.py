@@ -219,6 +219,13 @@ def _build_tile_table(
     tile_id = jnp.where(entry_valid, tile_id, num_tiles).astype(jnp.int32)
 
     # Fused sort key: tile id (high bits) | quantized depth (low bits).
+    # Depth keeps the top `depth_bits` bits of the f32 pattern (8-bit exponent
+    # + the top depth_bits-9 mantissa bits): at 8k tiles that is ~9 mantissa
+    # bits, i.e. depths within a relative ~2^-10 of each other may collide.
+    # Colliding entries composite in entry-id order — DETERMINISTIC because
+    # lax.sort is stable — a bounded, documented deviation from an exact
+    # 64-bit (tile, depth) sort; alpha blending of near-equal-depth splats is
+    # insensitive to their relative order at this granularity.
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = 32 - tile_bits
     if depth_bits < 8:
@@ -249,22 +256,28 @@ def _build_tile_table(
     dest = jnp.where(
         (rank < K) & (sorted_tiles < num_tiles),
         sorted_tiles * K + rank,
-        num_tiles * K,            # out of bounds -> dropped (keeps uniqueness)
+        # Dropped entries get GENUINELY unique out-of-bounds slots (num_tiles*K
+        # + position): XLA's unique_indices promise makes duplicate indices
+        # undefined behavior even in drop mode.
+        num_tiles * K + idx,
     )
     if config.backend == "pallas":
         # Tile runs are contiguous in the sorted order: recover each run's
         # start with a binary search (22 gathers over [T] queries — free) and
-        # slice-DMA the runs into table rows in a Pallas kernel. Avoids the
-        # XLA scatter of E rows entirely (the scatter serializes at ~5 ns/row
-        # on TPU; the DMA path streams contiguous 2-4 KB runs).
-        from gaussiansplattingregistration_tpu.ops import raster_pallas
-
+        # GATHER each row as sorted_entry[start + k]. Avoids the XLA scatter
+        # of E rows entirely (the scatter serializes per row on TPU; this is
+        # a T*K-element gather, ~8x fewer rows at bench config). A slice-DMA
+        # Pallas kernel was tried and rejected: Mosaic requires 1-D dynamic
+        # slices to align to the 1024-element tiling in every memory space,
+        # and run starts are arbitrary.
         bounds = jnp.searchsorted(
             sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
         counts = jnp.minimum(bounds[1:] - bounds[:-1], K)
-        table = raster_pallas.build_table_from_runs(
-            sorted_entry, bounds[:-1], counts, num_tiles, K
+        kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
+        src = jnp.minimum(bounds[:-1, None] + kcol, E - 1)
+        table = jnp.where(
+            kcol < counts[:, None], sorted_entry[src], -1
         )
     else:
         table = jnp.full(num_tiles * K, -1, jnp.int32).at[dest].set(
