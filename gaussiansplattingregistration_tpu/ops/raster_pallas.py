@@ -12,11 +12,15 @@ so that every step is relayout-free:
 
 * per-splat param rows arrive channel-major [16, K] — each row is already a
   lane vector, and pixel-coordinate columns are sublane vectors, so the
-  alpha evaluation [P, K] is pure broadcasting (VPU);
-* the front-to-back transmittance is a multiplicative Hillis–Steele scan
-  along the LANE axis (pltpu.roll shifts lanes — the cheap direction;
-  Mosaic has no cumprod primitive, and the log/exp round trip of the XLA
-  path is avoided entirely);
+  alpha evaluation [P, K] is pure broadcasting (VPU). The [T, 16, K] input
+  is produced by the XLA-side gather with a fused transpose (profiled: the
+  transpose fuses into the gather for ~0.4 ms; a separate transpose
+  custom-call costs ~30 ms at 1M splats);
+* the front-to-back transmittance is computed in log space with the
+  cumulative sum done as ONE MXU matmul against a constant triangular
+  matrix (log1p -> [P,S] @ triu[S,S] -> exp). This replaces the 7-step
+  Hillis–Steele lane scan (~21 VPU ops per element) with work on the
+  otherwise-idle MXU; precision=HIGHEST keeps f32-grade accuracy;
 * the weighted (color, depth, alpha) accumulation contracts K with one MXU
   matmul per chunk, with the value rows used directly as the [5, K]
   operand — no transposes anywhere;
@@ -28,9 +32,10 @@ so that every step is relayout-free:
 * the backward is hand-written (gsplat's CUDA backward uses atomics; TPUs
   have none) and runs in ONE kernel: the unrolled forward sweep keeps each
   chunk's transmittance carry as an SSA value, and the unrolled reverse
-  sweep consumes them while accumulating the gradient suffix statistic.
-  The scatter back to splats is the sort-based VJP of the XLA gather that
-  fed the kernel (`rasterize.gather_entries`) — atomics-free by
+  sweep consumes them while accumulating the gradient suffix statistic
+  (the depth-suffix sum is also an MXU matmul, against the transposed
+  triangle). The scatter back to splats is the sort-based VJP of the XLA
+  gather that fed the kernel (`rasterize.gather_entries`) — atomics-free by
   construction (SURVEY.md §7 hard part #1).
 
 Key identity for the backward (front-to-back compositing):
@@ -39,7 +44,7 @@ Key identity for the backward (front-to-back compositing):
   S_k = sum_{j>k} (dL/dw_j) w_j   (a suffix sum along the depth axis).
 
 All kernels run in interpret mode automatically on CPU (tests), compiled on
-TPU.
+TPU; `tests_tpu/` executes them on the real chip.
 """
 
 from __future__ import annotations
@@ -48,15 +53,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig
 
 _CHUNK = 128          # K entries streamed per unrolled chunk (lane multiple)
-_NCH = 16             # packed param channels (11 used, padded to sublane 16)
+_NCH = 10             # packed param channels (mx,my,conic*3,op,rgb,depth)
 _BLOCK = 8            # tiles per grid step (amortizes ~6us/step grid overhead)
 _VMEM_LIMIT = 100 * 1024 * 1024
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _params():
@@ -67,36 +74,26 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _lane_cumprod(x):
-    """Inclusive multiplicative Hillis–Steele scan along lanes (axis 1)."""
-    k = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < k:
-        shifted = pltpu.roll(x, shift=s, axis=1)
-        x = x * jnp.where(col >= s, shifted, 1.0)
-        s *= 2
-    return x
+def _triu(s: int):
+    """[S, S] f32 with 1 where row <= col (inclusive-cumsum right-operand)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return (r <= c).astype(jnp.float32)
 
 
-def _lane_suffix_sum(x):
-    """Inclusive suffix sum along lanes (axis 1)."""
-    k = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    s = 1
-    while s < k:
-        # Circular roll by (k - s) == backward shift by s (negative shifts
-        # are rejected by pltpu.roll).
-        shifted = pltpu.roll(x, shift=k - s, axis=1)
-        x = x + jnp.where(col < k - s, shifted, 0.0)
-        s *= 2
-    return x
+def _tril(s: int):
+    """[S, S] f32 with 1 where row >= col (inclusive-suffix-sum operand)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    return (r >= c).astype(jnp.float32)
 
 
-def _excl_from_incl(incl):
-    """Exclusive from inclusive scan: lane-shift by one, lane 0 = 1."""
-    col = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 1)
-    return jnp.where(col == 0, 1.0, pltpu.roll(incl, shift=1, axis=1))
+def _cumsum_lanes(x, tri):
+    """Inclusive cumulative sum along lanes via one MXU matmul."""
+    return jax.lax.dot_general(
+        x, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
 
 
 def _pixel_coords(ts: int, dtype):
@@ -120,7 +117,6 @@ def _chunk_terms(pc, px, py, config):
     cb = pc[3:4, :]
     cc = pc[4:5, :]
     op = pc[5:6, :]
-    valid = pc[10:11, :]
 
     dx = px - mx                                               # [P, S]
     dy = py - my
@@ -128,7 +124,9 @@ def _chunk_terms(pc, px, py, config):
     exp_term = jnp.exp(-jnp.maximum(sigma, 0.0))
     raw_alpha = op * exp_term
     alpha = jnp.minimum(raw_alpha, config.alpha_max)
-    visible = (alpha >= config.alpha_clip) & (sigma >= 0.0) & (valid > 0)
+    # No explicit valid channel: gather_entries zeroes masked rows, so
+    # invalid entries arrive with opacity 0 and can never pass alpha_clip.
+    visible = (alpha >= config.alpha_clip) & (sigma >= 0.0)
     alpha = jnp.where(visible, alpha, 0.0)
     return alpha, raw_alpha, exp_term, sigma, dx, dy
 
@@ -144,6 +142,7 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int, n_chunks: int,
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
+    tri = _triu(S)
 
     # `block` tiles per grid step: TPU grid steps run sequentially at ~6us
     # fixed cost each, so batching tiles amortizes the step overhead while
@@ -158,15 +157,16 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int, n_chunks: int,
                 acc, carry_T = carry
                 pc = p_ref[b, :, c * S:(c + 1) * S]            # [16, S] static
                 alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
-                incl = _lane_cumprod(1.0 - alpha)
-                T = carry_T * _excl_from_incl(incl)
+                lt = jnp.log1p(-alpha)                          # <= 0
+                cum = _cumsum_lanes(lt, tri)                    # inclusive
+                T = carry_T * jnp.exp(cum - lt)                 # exclusive
                 w = jnp.where(T > config.transmittance_min, alpha * T, 0.0)
                 acc = acc + jax.lax.dot_general(
                     w, _vals_rows(pc),
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_HI,
                 )
-                carry_T = carry_T * incl[:, S - 1:S]
+                carry_T = carry_T * jnp.exp(cum[:, S - 1:S])
                 return acc, carry_T
 
             # Skip the chunk once every pixel saturates (3DGS early
@@ -203,6 +203,8 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
 def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
               config):
     cnt = cnt_ref[b, 0]
+    tri = _triu(S)
+    tri_s = _tril(S)
     # ---- forward sweep: per-chunk entry transmittance carries -------------
     carries = []
     carry_T = jnp.ones((P, 1), jnp.float32)
@@ -212,8 +214,9 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
         def heavy(cT, c=c):
             pc = p_ref[b, :, c * S:(c + 1) * S]
             alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
-            incl = _lane_cumprod(1.0 - alpha)
-            return cT * incl[:, S - 1:S]
+            lt = jnp.log1p(-alpha)
+            cum = _cumsum_lanes(lt, tri)
+            return cT * jnp.exp(cum[:, S - 1:S])
 
         carry_T = jax.lax.cond(
             (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
@@ -236,8 +239,9 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             alpha, raw_alpha, exp_term, sigma, dx, dy = _chunk_terms(
                 pc, px, py, config
             )
-            incl = _lane_cumprod(1.0 - alpha)
-            T = carry_T * _excl_from_incl(incl)
+            lt = jnp.log1p(-alpha)
+            cum = _cumsum_lanes(lt, tri)
+            T = carry_T * jnp.exp(cum - lt)                    # exclusive
             live = T > config.transmittance_min
             w = jnp.where(live, alpha * T, 0.0)
 
@@ -245,10 +249,15 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             dldw = jax.lax.dot_general(
                 G5, _vals_rows(pc),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_HI,
             )
             dw_w = dldw * w
-            S_excl = _lane_suffix_sum(dw_w) - dw_w + sfx
+            # Inclusive suffix sum along lanes — one MXU matmul.
+            sfx_incl = jax.lax.dot_general(
+                dw_w, tri_s, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            S_excl = sfx_incl - dw_w + sfx
             dlda = jnp.where(
                 live & (alpha > 0.0),
                 T * dldw - S_excl / jnp.maximum(1.0 - alpha, 1e-6),
@@ -275,15 +284,14 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             d_color = jax.lax.dot_general(
                 g_rgb, w,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_HI,
             )
             d_depth = jnp.sum(w * g_depth, axis=0, keepdims=True)
 
             dchunk = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_color, d_depth,
-                 jnp.zeros((_NCH - 10, S), jnp.float32)],
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_color, d_depth],
                 axis=0,
-            )                                                  # [16, S]
+            )                                                  # [10, S]
             return dchunk, sfx + jnp.sum(dw_w, axis=1, keepdims=True)
 
         def skip(sfx):
@@ -293,11 +301,16 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
             heavy, skip, suffix,
         )
-        d_ref[b, :, c * S:(c + 1) * S] = dchunk
+        # Emit ROW-major [S, 16]: the output [T, K, 16] then flattens to the
+        # row-major [T*K, 16] the gather VJP consumes. Emitting channel-major
+        # [T, 16, K] instead lets XLA turn the transpose-back into a free
+        # layout flip, which silently makes every downstream gather read
+        # strided elements (profiled 3x slower at bench scale).
+        d_ref[b, c * S:(c + 1) * S, :] = dchunk.T
 
 
 # --------------------------------------------------------------------------
-# XLA-side packing and the public op with custom VJP
+# Public op with custom VJP
 # --------------------------------------------------------------------------
 
 
@@ -310,37 +323,27 @@ def _pad_axis(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _tile_counts(valid):
-    """[T, 1] int32 occupied-prefix length per tile (ranks are contiguous)."""
-    return jnp.sum(valid > 0, axis=1, dtype=jnp.int32)[:, None]
-
-
-def _pack_params(g, valid, tile_origin, K_pad):
-    """[T, K, 10] global-coord entry params -> [T, 16, K_pad] channel-major
-    with tile-LOCAL means (small magnitudes keep the quadratic exact)."""
-    local_m = g[..., 0:2] - tile_origin[:, None, :]
-    rows = jnp.concatenate(
-        [local_m, g[..., 2:10], valid[..., None]], axis=-1
-    )                                                          # [T, K, 11]
-    p = jnp.transpose(rows, (0, 2, 1))                         # [T, 11, K]
-    return _pad_axis(_pad_axis(p, _NCH, 1), K_pad, 2)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def composite_tiles_pallas(
-    g,            # [T, K, 10] gathered entry params (global coords)
-    valid,        # [T, K] float mask
-    tile_origin,  # [T, 2] pixel origin of each tile
+    gT,           # [T, 10, K] channel-major entry params, TILE-LOCAL means
+    counts,       # [T, 1] float32 occupied-prefix length per tile
     ts: int,
     config: RasterizeConfig,
 ):
     """Per-tile front-to-back compositing. Returns (rgb [T,P,3], alpha [T,P],
-    depth [T,P]) with P = ts*ts (row-major pixels)."""
-    return _fwd_impl(g, valid, tile_origin, ts, config)
+    depth [T,P]) with P = ts*ts (row-major pixels).
+
+    `gT` channels: (mx_local, my_local, conic_a, conic_b, conic_c, opacity,
+    r, g, b, depth). The caller produces it as
+    transpose(gather(...)) which XLA fuses into the gather — do NOT insert a
+    materialized pack/transpose here (it costs ~30 ms at bench scale).
+    """
+    return _fwd_impl(gT, counts, ts, config)
 
 
-def _fwd_impl(g, valid, tile_origin, ts, config):
-    T0, K = valid.shape
+def _fwd_impl(gT, counts, ts, config):
+    T0, nch, K = gT.shape
+    assert nch == _NCH, gT.shape
     P = ts * ts
     S = _CHUNK
     K_pad = ((K + S - 1) // S) * S
@@ -348,8 +351,8 @@ def _fwd_impl(g, valid, tile_origin, ts, config):
     B = _BLOCK
     T_pad = ((T0 + B - 1) // B) * B
 
-    params = _pad_axis(_pack_params(g, valid, tile_origin, K_pad), T_pad, 0)
-    counts = _pad_axis(_tile_counts(valid), T_pad, 0)
+    params = _pad_axis(_pad_axis(gT, K_pad, 2), T_pad, 0)
+    cnt_i = _pad_axis(counts, T_pad, 0).astype(jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config
     )
@@ -367,19 +370,19 @@ def _fwd_impl(g, valid, tile_origin, ts, config):
         out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
-    )(counts, params)
+    )(cnt_i, params)
     return out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3]
 
 
-def _fwd_rule(g, valid, tile_origin, ts, config):
-    out = _fwd_impl(g, valid, tile_origin, ts, config)
-    return out, (g, valid, tile_origin)
+def _fwd_rule(gT, counts, ts, config):
+    out = _fwd_impl(gT, counts, ts, config)
+    return out, (gT, counts)
 
 
 def _bwd_rule(ts, config, residuals, cotangents):
-    g, valid, tile_origin = residuals
+    gT, counts = residuals
     g_rgb, g_alpha, g_depth = cotangents
-    T0, K = valid.shape
+    T0, _, K = gT.shape
     P = ts * ts
     S = _CHUNK
     K_pad = ((K + S - 1) // S) * S
@@ -387,8 +390,8 @@ def _bwd_rule(ts, config, residuals, cotangents):
     B = _BLOCK
     T_pad = ((T0 + B - 1) // B) * B
 
-    params = _pad_axis(_pack_params(g, valid, tile_origin, K_pad), T_pad, 0)
-    counts = _pad_axis(_tile_counts(valid), T_pad, 0)
+    params = _pad_axis(_pad_axis(gT, K_pad, 2), T_pad, 0)
+    cnt_i = _pad_axis(counts, T_pad, 0).astype(jnp.int32)
     ct = jnp.concatenate(
         [
             g_rgb,
@@ -414,17 +417,17 @@ def _bwd_rule(ts, config, residuals, cotangents):
             pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((B, K_pad, _NCH), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, _NCH, K_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, K_pad, _NCH), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
-    )(counts, params, ct)
+    )(cnt_i, params, ct)
 
-    d_rows = jnp.transpose(d_params[:T0, :, :K], (0, 2, 1))    # [T, K, 16]
-    # Tile-local means shift by a constant per tile: d(local)/d(global) = 1.
-    d_g = d_rows[..., 0:10]
-    return d_g, jnp.zeros_like(valid), jnp.zeros_like(tile_origin)
+    # [T, K, 16] -> cotangent of gT [T, 16, K]: this transpose CANCELS with
+    # the caller-side transpose(g), so XLA never materializes either.
+    d_gT = jnp.transpose(d_params[:T0, :K, :], (0, 2, 1))
+    return d_gT, jnp.zeros_like(counts)
 
 
 composite_tiles_pallas.defvjp(_fwd_rule, _bwd_rule)

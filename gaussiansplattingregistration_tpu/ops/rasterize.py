@@ -158,6 +158,55 @@ def compute_view_colors(
     return jnp.maximum(rgb, 0.0)
 
 
+def _align_runs_conv(vals: jax.Array, starts: jax.Array, counts: jax.Array,
+                     num_tiles: int, K: int) -> jax.Array:
+    """[T, K] table[t, k] = vals[starts[t] + k], masked to -1 past counts[t].
+
+    The per-tile runs are CONTIGUOUS in the depth-sorted order, so each row
+    is a K-slice at an arbitrary offset. A direct XLA gather lowers to 1.84M
+    serialized scalar loads (~13 ms at bench scale); instead this gathers
+    whole 128-wide ROWS covering each window (fast: row gathers run near HBM
+    bandwidth) and aligns within the window with ONE exact bf16 convolution
+    on the MXU (~1 ms): out[t, k] = sum_s onehot[t, s] * win[t, s + k], a
+    per-tile-kernel conv via batch_group_count. Exactness: vals are split
+    into three byte planes scaled by (1, 2^8, 2^16) — every bf16 operand is
+    an integer < 256 or a power of two, products and the single-nonzero sums
+    are exact in the f32 accumulator (requires vals < 2^22; asserted).
+    """
+    R = 128
+    E = vals.shape[0]
+    E_pad = ((E + R - 1) // R) * R
+    if E_pad != E:
+        vals = jnp.pad(vals, (0, E_pad - E))   # pad rows are masked by counts
+    n_wrows = (K + R - 1) // R + 1             # covers offset (<R) + K
+    W = n_wrows * R
+    v2 = vals.reshape(E_pad // R, R)
+    r0 = starts // R
+    rows = v2[jnp.minimum(
+        r0[:, None] + jnp.arange(n_wrows, dtype=jnp.int32)[None, :],
+        E_pad // R - 1,
+    )]                                                      # [T, W/R, R]
+    win = rows.reshape(num_tiles, W)
+    b0 = (win & 255).astype(jnp.bfloat16)
+    b1 = ((win >> 8) & 255).astype(jnp.bfloat16)
+    b2 = ((win >> 16) & 255).astype(jnp.bfloat16)
+    lhs = jnp.stack([b0, b1, b2], axis=1)                   # [T, 3, W]
+    onehot = (
+        jnp.arange(R, dtype=jnp.int32)[None, :] == (starts % R)[:, None]
+    ).astype(jnp.bfloat16)
+    scale = jnp.array([1.0, 256.0, 65536.0], jnp.bfloat16)
+    rhs = onehot[:, None, :] * scale[None, :, None]         # [T, 3, R]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        batch_group_count=num_tiles,
+        preferred_element_type=jnp.float32,
+    )                                                       # [1, T, K+1]
+    ids = jnp.round(out[0, :, :K]).astype(jnp.int32)
+    kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
+    return jnp.where(kcol < counts[:, None], ids, -1)
+
+
 def _build_tile_table(
     means2d: jax.Array,
     radius: jax.Array,
@@ -169,17 +218,19 @@ def _build_tile_table(
     ty_offset: int = 0,
     tiles_y_window: Optional[int] = None,
 ):
-    """Build the per-tile entry table [num_tiles, K] of depth-sorted entry ids.
+    """Build the per-tile table [num_tiles, K] of depth-sorted SPLAT ids.
 
     Each splat emits up to C = max_tiles_per_splat entries (entry id
     = splat_id * C + c); entries are sorted ONCE by a fused u32 key
     (tile_id in the high bits, monotonically quantized depth in the low
     bits — the float-bit trick: for positive f32, bit pattern order equals
     value order), then each entry's rank within its tile run is derived from
-    a cummax over run boundaries and the entry id is scattered into
-    table[tile, rank] (unique destinations, no collisions — the TPU-fast
-    scatter mode). Replaces CUDA-style 64-bit radix sort + per-tile range
-    binary search with one 32-bit sort + O(E) vector ops.
+    a cummax over run boundaries and the entry's SPLAT id lands in
+    table[tile, rank] — via a unique-index scatter (xla backend) or via
+    run-contiguity + the conv-align row gather (`_align_runs_conv`, pallas
+    backend, ~12x faster at bench scale). Replaces CUDA-style 64-bit radix
+    sort + per-tile range binary search with one 32-bit sort + O(E) vector
+    ops.
 
     Invalid entries get tile_id = num_tiles and are dropped. Coverage beyond
     C tiles and tile occupancy beyond K are truncated (bounded-coverage
@@ -191,13 +242,19 @@ def _build_tile_table(
     the slab — the unit of tile-sharding across devices
     (parallel/sharded_raster.py).
 
-    Returns (table [num_tiles, K] int32 entry ids with -1 for empty slots).
+    Returns (table [num_tiles, K] int32 splat ids with -1 for empty slots,
+    sorted_entry, dest, counts [num_tiles] int32 post-truncation occupancy).
     """
     n = means2d.shape[0]
     ts = float(config.tile_size)
     if tiles_y_window is None:
         tiles_y_window = tiles_y
     num_tiles = tiles_x * tiles_y_window
+    if config.backend == "pallas" and n >= (1 << 22):
+        raise ValueError(
+            "splat ids exceed the exact-bf16-conv range (2^22); "
+            "shard the splat axis (parallel/sharded_raster.py) instead"
+        )
 
     tx0 = jnp.clip(jnp.floor((means2d[:, 0] - radius) / ts), 0, tiles_x - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((means2d[:, 1] - radius) / ts), 0, tiles_y - 1).astype(jnp.int32)
@@ -261,51 +318,48 @@ def _build_tile_table(
         # undefined behavior even in drop mode.
         num_tiles * K + idx,
     )
+    sorted_splat = sorted_entry // config.max_tiles_per_splat
     if config.backend == "pallas":
         # Tile runs are contiguous in the sorted order: recover each run's
-        # start with a binary search (22 gathers over [T] queries — free) and
-        # GATHER each row as sorted_entry[start + k]. Avoids the XLA scatter
-        # of E rows entirely (the scatter serializes per row on TPU; this is
-        # a T*K-element gather, ~8x fewer rows at bench config). A slice-DMA
-        # Pallas kernel was tried and rejected: Mosaic requires 1-D dynamic
-        # slices to align to the 1024-element tiling in every memory space,
-        # and run starts are arbitrary.
+        # start with a binary search (22 gathers over [T] queries) and slice
+        # each run out with the row-gather + exact-conv alignment
+        # (_align_runs_conv) — neither an XLA scatter (serializes per row)
+        # nor an XLA element gather (1.84M scalar loads, ~13 ms) appears.
         bounds = jnp.searchsorted(
             sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
         counts = jnp.minimum(bounds[1:] - bounds[:-1], K)
-        kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
-        src = jnp.minimum(bounds[:-1, None] + kcol, E - 1)
-        table = jnp.where(
-            kcol < counts[:, None], sorted_entry[src], -1
-        )
+        table = _align_runs_conv(sorted_splat, bounds[:-1], counts,
+                                 num_tiles, K)
     else:
         table = jnp.full(num_tiles * K, -1, jnp.int32).at[dest].set(
-            sorted_entry, unique_indices=True, mode="drop"
+            sorted_splat, unique_indices=True, mode="drop"
         ).reshape(num_tiles, K)
-    return table, sorted_entry, dest
+        counts = jnp.sum(table >= 0, axis=1, dtype=jnp.int32)
+    return table, sorted_entry, dest, counts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gather_entries(
     packed: jax.Array,        # [N, F]
-    table: jax.Array,         # [T, K] entry ids or -1
+    table: jax.Array,         # [T, K] splat ids or -1
     sorted_entry: jax.Array,  # [N*C] entry ids in sorted-key order
-    dest: jax.Array,          # [N*C] flat table slot per sorted entry (or T*K)
+    dest: jax.Array,          # [N*C] flat table slot per sorted entry (or OOB)
     C: int,
 ) -> jax.Array:
     """Gather per-splat rows [N, F] into the tile table layout [T, K, F].
 
-    table holds entry ids in [0, N*C) or -1; entry id // C is the splat.
-    The custom VJP avoids XLA's scatter entirely (TPU scatters run ~100 ns
-    per row, serialized): it inverts the entry->slot mapping with one more
-    u32 sort of the (sorted_entry, dest) pairs produced by the table build,
-    then GATHERS each entry's cotangent row from the cotangent table and
-    reduces the C copies per splat with a reshape-sum. Sort + gather are
-    both parallel-friendly on TPU; the backward costs ~the same as the
-    forward instead of ~100x more.
+    table holds splat ids in [0, N) or -1. The custom VJP avoids XLA's
+    scatter entirely (TPU scatters run ~100 ns per row, serialized): it
+    inverts the entry->slot mapping with one more sort of the
+    (sorted_entry, dest) pairs produced by the table build, then GATHERS
+    each entry's cotangent row from the cotangent table — as C separate
+    [N]-row gathers summed in registers, NOT one [N*C]-row gather whose
+    output XLA lays out column-major (profiled 77 ms vs ~31 ms at bench
+    scale). Sort + gather are both parallel-friendly on TPU; the backward
+    costs ~the same as the forward instead of ~100x more.
     """
-    splat = jnp.maximum(table, 0) // C
+    splat = jnp.maximum(table, 0)
     return packed[splat] * (table >= 0).astype(packed.dtype)[..., None]
 
 
@@ -318,6 +372,12 @@ def _gather_entries_fwd(packed, table, sorted_entry, dest, C):
 def _gather_entries_bwd(C, residuals, ct):
     sorted_entry, dest, n, num_slots = residuals
     F = ct.shape[-1]
+    # Materialize the cotangent table in row-major layout BEFORE the gathers:
+    # when ct arrives as a transpose view (the pallas path produces
+    # [T, 16, K] and autodiff transposes it back), XLA otherwise fuses the
+    # transpose INTO each gather, turning row gathers into strided element
+    # reads (profiled 3x slower at bench scale).
+    ct = jax.lax.optimization_barrier(ct)
     # Invert entry -> slot by sorting the pairs by entry id (every entry id
     # in [0, N*C) appears exactly once in sorted_entry).
     _, slot_by_entry = jax.lax.sort((sorted_entry, dest), num_keys=1)
@@ -414,7 +474,7 @@ def rasterize_tile_slab(
     num_tiles = tiles_x * tiles_y_window
 
     op = opacity * valid.astype(opacity.dtype)
-    table, sorted_entry, dest = _build_tile_table(
+    table, sorted_entry, dest, counts = _build_tile_table(
         means2d, radius, depth, valid, tiles_x, tiles_y, config,
         ty_offset=ty_offset, tiles_y_window=tiles_y_window,
     )                                                         # [T, K]
@@ -426,25 +486,40 @@ def rasterize_tile_slab(
         axis=-1,
     ).astype(means2d.dtype)
 
-    # One wide packed gather instead of six row gathers — TPU gathers are
-    # per-row latency-bound, so fusing the columns is ~6x cheaper. Its custom
-    # VJP is the unique-index scatter (no duplicate-index serialization).
-    packed = jnp.concatenate(
-        [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
-    )                                                         # [N, 10]
-    g = gather_entries(
-        packed, table, sorted_entry, dest, config.max_tiles_per_splat
-    )                                                         # [T, K, 10]
-
     P = ts * ts
     K = config.max_splats_per_tile
     if config.backend == "pallas":
         from gaussiansplattingregistration_tpu.ops import raster_pallas
 
+        # One wide packed gather; XLA fuses the [T,K,10]->[T,10,K]
+        # transpose INTO the gather (profiled: a separate transpose
+        # custom-call costs ~30 ms at bench scale). No valid channel: the
+        # gather's mask multiply zeroes opacity for empty slots, which kills
+        # alpha in the kernel.
+        packed = jnp.concatenate(
+            [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
+        )                                                     # [N, 10]
+        g = gather_entries(
+            packed, table, sorted_entry, dest, config.max_tiles_per_splat
+        )                                                     # [T, K, 10]
+        gT = jnp.transpose(g, (0, 2, 1))                      # [T, 10, K]
+        # Tile-LOCAL means keep the quadratic form exact in f32.
+        origin10 = jnp.zeros((num_tiles, 10), means2d.dtype)
+        origin10 = origin10.at[:, 0].set(tile_origin[:, 0])
+        origin10 = origin10.at[:, 1].set(tile_origin[:, 1])
+        gT = gT - origin10[:, :, None]
         rgb, alpha, depthmap = raster_pallas.composite_tiles_pallas(
-            g, tile_entry_valid.astype(means2d.dtype), tile_origin, ts, config
+            gT, counts[:, None].astype(means2d.dtype), ts, config
         )
     else:
+        # One wide packed gather instead of six row gathers — TPU gathers
+        # are per-row latency-bound, so fusing the columns is ~6x cheaper.
+        packed = jnp.concatenate(
+            [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
+        )                                                     # [N, 10]
+        g = gather_entries(
+            packed, table, sorted_entry, dest, config.max_tiles_per_splat
+        )                                                     # [T, K, 10]
         B = config.tile_chunk
         pad = (-num_tiles) % B
         tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))
