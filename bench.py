@@ -1,14 +1,20 @@
-"""Headline benchmark: rasterize forward+backward throughput at 1M splats.
+"""Benchmarks for the five BASELINE.json configs.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} as the driver
-contract requires. Runs on whatever JAX platform the environment provides
-(the real TPU chip under the driver; CPU if forced).
+The driver contract is ONE JSON line on stdout: the headline metric
+(rasterize fwd+bwd pixels/s/chip at 1M splats). The remaining BASELINE
+configs (ICP iters/s, FPFH+RANSAC+colored-refine wall-clock, HEM+multiscale
+wall-clock, photometric pose-opt steps/s) are emitted as secondary JSON
+lines on STDERR and written to BENCH_EXTRA.json.
 
-Metric (BASELINE.json): pixels/s/chip for rasterize fwd+bwd at 1M splats.
+Runs on whatever JAX platform the environment provides (the real TPU chip
+under the driver; CPU if forced).
+
 `vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
-denominator is the north-star proxy — an estimated H100 gsplat fwd+bwd
-throughput of 2.5e8 px/s at 1M splats (>=2.0 would mean "2x H100 per chip";
-the pod-level 2x target then comes from scaling).
+headline denominator is the north-star proxy — an estimated H100 gsplat
+fwd+bwd throughput of 2.5e8 px/s at 1M splats (>=2.0 would mean "2x H100
+per chip"; the pod-level 2x target then comes from scaling). Secondary
+metrics have no reference numbers at all (the reference delegates to
+Open3D/CPU and publishes nothing); vs_baseline is null there.
 """
 
 import json
@@ -27,14 +33,21 @@ WARMUP = 2
 ITERS = 8
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_raster():
+    """Config 4: 1M-splat tile rasterization, fwd+bwd (the headline)."""
     import jax
     import jax.numpy as jnp
 
     from gaussiansplattingregistration_tpu.models.camera import Camera
+    from gaussiansplattingregistration_tpu.ops import math3d
     from gaussiansplattingregistration_tpu.ops.rasterize import (
         RasterizeConfig,
         rasterize_arrays,
+        rasterize_arrays_with_stats,
     )
 
     rng = np.random.default_rng(0)
@@ -44,9 +57,6 @@ def main():
     xyz = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
     scales = rng.uniform(0.002, 0.006, size=(n, 3)).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
-
-    from gaussiansplattingregistration_tpu.ops import math3d
-
     cov = np.asarray(
         math3d.covariance_from_scaling_rotation(jnp.asarray(scales), jnp.asarray(quats))
     )
@@ -62,6 +72,11 @@ def main():
         max_splats_per_tile=512,
         tile_chunk=32,
         backend=backend,
+        # No backward cap: this scene is deep (mean early-termination
+        # horizon ~306 of K=512, max 512 — see the stats line), so any cap
+        # below K would drop real gradients. The V-B transport (sort + fold
+        # + one-hot landing) is cheap even uncapped.
+        max_bwd_splats_per_tile=None,
     )
 
     means_d = jnp.asarray(xyz)
@@ -72,6 +87,22 @@ def main():
     intr = cam.intrinsics
     bg = jnp.zeros(3, jnp.float32)
 
+    # Truncation/termination observability: verify the static bounds are
+    # exact for the bench scene (all counters zero) before timing.
+    if backend == "pallas":
+        *_, stats = rasterize_arrays_with_stats(
+            means_d, cov_d, op_d, feat_d, viewmat, intr,
+            WIDTH, HEIGHT, 0, bg, config,
+        )
+        viol = int(stats["bwd_cap_violations"])
+        _log(f"# raster stats: {json.dumps({k: float(v) for k, v in stats.items()})}")
+        if viol:
+            raise RuntimeError(
+                f"bench config drops gradients ({viol} tiles over the bwd cap)"
+            )
+    else:
+        stats = None
+
     def loss_fn(means, cov3d, op, feats):
         rgb, _, _ = rasterize_arrays(
             means, cov3d, op, feats, viewmat, intr,
@@ -81,7 +112,6 @@ def main():
 
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
 
-    # Warmup / compile.
     for _ in range(WARMUP):
         grads = fwd_bwd(means_d, cov_d, op_d, feat_d)
     jax.block_until_ready(grads)
@@ -93,16 +123,233 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     pixels_per_s = WIDTH * HEIGHT / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip_1M_splats",
-                "value": round(pixels_per_s, 1),
-                "unit": "pixels/s/chip",
-                "vs_baseline": round(pixels_per_s / H100_FWD_BWD_PIXELS_PER_S, 4),
-            }
-        )
+    return {
+        "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip_1M_splats",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(pixels_per_s / H100_FWD_BWD_PIXELS_PER_S, 4),
+    }
+
+
+def _two_clouds(rng, n, offset=(0.08, -0.05, 0.04), angle=0.06, colors=False):
+    """Synthetic overlapping cloud pair with a known small SE(3) offset."""
+    import jax.numpy as jnp
+
+    from gaussiansplattingregistration_tpu.models.point_cloud import PointCloud
+
+    pts = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    # Structured surface (not pure noise) so ICP has gradients to follow.
+    pts[:, 2] = 0.3 * np.sin(3.0 * pts[:, 0]) + 0.2 * np.cos(2.0 * pts[:, 1])
+    pts[:, 2] += 0.01 * rng.normal(size=n).astype(np.float32)
+    c, s = math.cos(angle), math.sin(angle)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    src = pts @ R.T + np.asarray(offset, np.float32)
+    col = None
+    if colors:
+        col = (0.5 + 0.5 * np.sin(5.0 * pts)).astype(np.float32)
+    tgt_pc = PointCloud(points=jnp.asarray(pts),
+                        colors=None if col is None else jnp.asarray(col))
+    src_pc = PointCloud(points=jnp.asarray(src),
+                        colors=None if col is None else jnp.asarray(col))
+    return src_pc, tgt_pc
+
+
+def bench_icp():
+    """Config 1: point-to-point ICP iterations/s on two 100k-point clouds."""
+    import jax
+
+    from gaussiansplattingregistration_tpu.models.parameters import (
+        LocalRegistrationParams,
     )
+    from gaussiansplattingregistration_tpu.ops import icp as icp_ops
+
+    rng = np.random.default_rng(1)
+    src, tgt = _two_clouds(rng, 100_000)
+    params = LocalRegistrationParams(
+        max_correspondence=0.3, max_iteration=30,
+        relative_fitness=0.0, relative_rmse=0.0,  # run all 30 iters
+    )
+    res = icp_ops.icp(src, tgt, params)  # compile + warmup
+    t0 = time.perf_counter()
+    runs = 3
+    for _ in range(runs):
+        res = icp_ops.icp(src, tgt, params)
+    dt = (time.perf_counter() - t0) / runs
+    return {
+        "metric": "icp_p2p_iters_per_s_100k_pts",
+        "value": round(res.num_iterations / dt, 2),
+        "unit": "iters/s",
+        "vs_baseline": None,
+        "detail": {"fitness": res.fitness, "rmse": res.inlier_rmse,
+                   "iters": res.num_iterations, "wall_s": round(dt, 4)},
+    }
+
+
+def bench_global():
+    """Config 2: FPFH+RANSAC global then colored-ICP refine (wall-clock)."""
+    from gaussiansplattingregistration_tpu.models.parameters import (
+        CorrespondenceChecker,
+        LocalRegistrationParams,
+        LocalRegistrationType,
+        RANSACRegistrationParams,
+    )
+    from gaussiansplattingregistration_tpu.ops import global_registration as gr
+    from gaussiansplattingregistration_tpu.ops import icp as icp_ops
+
+    rng = np.random.default_rng(2)
+    src, tgt = _two_clouds(rng, 50_000, offset=(0.3, -0.2, 0.15), angle=0.4,
+                           colors=True)
+    ransac = RANSACRegistrationParams(
+        voxel_size=0.05,
+        checkers=(CorrespondenceChecker("edge_length", 0.9),
+                  CorrespondenceChecker("distance", 0.075)),
+        max_iteration=100_000, confidence=0.999,
+    )
+    refine = LocalRegistrationParams(
+        registration_type=LocalRegistrationType.ICP_COLOR,
+        max_correspondence=0.1, max_iteration=30,
+    )
+    # Warmup/compile pass, then the timed pass.
+    g = gr.ransac_registration(src, tgt, ransac, seed=0)
+    icp_ops.icp(src, tgt, refine, init_transform=g.transformation)
+    t0 = time.perf_counter()
+    g = gr.ransac_registration(src, tgt, ransac, seed=1)
+    r = icp_ops.icp(src, tgt, refine, init_transform=g.transformation)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "global_fpfh_ransac_plus_colored_refine_wall_s_50k_pts",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "detail": {"ransac_fitness": g.fitness, "refine_fitness": r.fitness,
+                   "ransac_hypotheses": g.num_iterations},
+    }
+
+
+def bench_hem_multiscale():
+    """Config 3: HEM downsample (3 levels) + coarse-to-fine registration."""
+    import jax.numpy as jnp
+
+    from gaussiansplattingregistration_tpu.models.parameters import (
+        GaussianMixtureParams,
+        MultiScaleRegistrationParams,
+    )
+    from gaussiansplattingregistration_tpu.models.point_cloud import PointCloud
+    from gaussiansplattingregistration_tpu.ops import hem as hem_ops
+    from gaussiansplattingregistration_tpu.pipelines.multiscale import (
+        multiscale_mixture_registration,
+    )
+    from tests.conftest import make_random_cloud
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.005, 0.02))
+    params = GaussianMixtureParams(cluster_level=3)
+
+    t0 = time.perf_counter()
+    levels = hem_ops.create_mixture(cloud, params, seed=0, backend="jax")
+    for lvl in levels:
+        jnp.asarray(lvl.xyz).block_until_ready()
+    t_hem = time.perf_counter() - t0
+
+    # Build the level pyramid (finest -> coarsest) for both "clouds"; offset
+    # the source copy by a known transform.
+    def to_pc(xyz, colors):
+        return PointCloud(points=jnp.asarray(xyz), colors=jnp.asarray(colors))
+
+    base = to_pc(cloud.xyz, cloud.get_colors)
+    tgt_levels = [base] + [to_pc(l.xyz, l.colors) for l in levels]
+    T_off = np.eye(4, dtype=np.float32)
+    T_off[:3, 3] = (0.05, -0.03, 0.02)
+    src_levels = [pc.transform(jnp.asarray(T_off)) for pc in tgt_levels]
+
+    ms = MultiScaleRegistrationParams(
+        voxel_values=[0.3, 0.15, 0.08], iter_values=[30, 20, 14]
+    )
+    t0 = time.perf_counter()
+    res = multiscale_mixture_registration(src_levels, tgt_levels, ms)
+    t_reg = time.perf_counter() - t0
+    return {
+        "metric": "hem3_plus_multiscale_wall_s_200k_splats",
+        "value": round(t_hem + t_reg, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "detail": {"hem_s": round(t_hem, 3), "multiscale_s": round(t_reg, 3),
+                   "level_sizes": [int(np.asarray(l.xyz).shape[0]) for l in levels],
+                   "fitness": res.fitness},
+    }
+
+
+def bench_photometric():
+    """Config 5: differentiable photometric pose-opt steps/s (single chip;
+    the sharded multi-host variant is parallel/train_step.py, exercised by
+    __graft_entry__.dryrun_multichip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingregistration_tpu.models.camera import Camera
+    from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig
+    from gaussiansplattingregistration_tpu.pipelines import photometric
+    from tests.conftest import make_random_cloud
+
+    rng = np.random.default_rng(4)
+    cloud = make_random_cloud(rng, n=100_000, sh_degree=1,
+                              scale_range=(0.005, 0.02))
+    w, h = 640, 360
+    f = w / (2 * math.tan(math.radians(70) / 2))
+    cams = [Camera.create(np.eye(3), [0.0, 0.0, 3.0], f, f, w, h)]
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    config = RasterizeConfig(
+        max_tiles_per_splat=4, max_splats_per_tile=256, tile_chunk=32,
+        backend=backend, max_bwd_splats_per_tile=256,
+    )
+    targets = photometric.render_targets(cloud, cams, config=config)
+
+    steps = 10
+    # Warmup run compiles the step.
+    photometric.photometric_pose_opt(
+        cloud, cams, targets, steps=2, config=config, ssim_weight=0.2,
+    )
+    t0 = time.perf_counter()
+    res = photometric.photometric_pose_opt(
+        cloud, cams, targets, steps=steps, config=config, ssim_weight=0.2,
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "photometric_pose_opt_steps_per_s_100k_splats_640x360",
+        "value": round(steps / dt, 3),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "detail": {"final_loss": res.final_loss},
+    }
+
+
+def main():
+    only_headline = "--headline-only" in sys.argv
+    headline = bench_raster()
+
+    extras = []
+    if not only_headline:
+        for fn in (bench_icp, bench_global, bench_hem_multiscale,
+                   bench_photometric):
+            try:
+                t0 = time.perf_counter()
+                r = fn()
+                _log(f"# {fn.__name__}: {time.perf_counter() - t0:.1f}s")
+                extras.append(r)
+            except Exception as e:  # secondary benches must not kill the run
+                extras.append({"metric": fn.__name__, "error": repr(e)})
+            _log(json.dumps(extras[-1]))
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_EXTRA.json"), "w") as fh:
+                json.dump({"headline": headline, "secondary": extras}, fh,
+                          indent=1)
+        except OSError:
+            pass
+
+    # THE one stdout JSON line (driver contract).
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,37 @@ def _cumsum_lanes(x, tri):
     )
 
 
+def _dot_tri_split(x, tri):
+    """x [P,S] @ 0/1-triangle [S,S] in TWO bf16 MXU passes (~16-mantissa-bit
+    accuracy) instead of precision=HIGHEST's six.
+
+    Mosaic rejects bf16-typed matmul operands and precision=HIGH in-kernel,
+    and DEFAULT (one bf16 pass) was measured 21% wrong on gradients. Instead:
+    split x into hi+lo parts that are exactly bf16-REPRESENTABLE f32 values —
+    DEFAULT precision truncates MXU operands to bf16, which is lossless for
+    such values, and the 0/1 triangle is exact in bf16 — so two DEFAULT
+    passes reproduce the true sum of 16-bit-rounded terms (~8e-6 relative).
+    The split masks mantissa bits with integer ops (f32->bf16 casts in
+    Mosaic are packing relayouts — measured +8 ms on the bwd kernel);
+    x_lo keeps exactly the low 8 mantissa bits, which renormalize into
+    bf16's 8-bit significand.
+    """
+    x_hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    x_lo = x - x_hi
+    dims = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(
+        x_hi, tri, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return out + jax.lax.dot_general(
+        x_lo, tri, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _pixel_coords(ts: int, dtype):
     """[P, 1] tile-local pixel-center coordinates, row-major (y*ts + x)."""
     p = ts * ts
@@ -151,6 +182,7 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int, n_chunks: int,
         cnt = cnt_ref[b, 0]            # valid entries are a rank-contiguous
         acc = jnp.zeros((P, 5), jnp.float32)   # prefix of the tile row
         carry_T = jnp.ones((P, 1), jnp.float32)
+        live = jnp.zeros((), jnp.float32)      # early-termination horizon
 
         for c in range(n_chunks):
             def chunk_body(carry, b=b, c=c):
@@ -172,16 +204,22 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int, n_chunks: int,
             # Skip the chunk once every pixel saturates (3DGS early
             # termination) or past the tile's occupied prefix (invalid
             # entries have alpha 0, so they can never saturate the scan).
+            pred = (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S)
             acc, carry_T = jax.lax.cond(
-                (jnp.max(carry_T) > config.transmittance_min)
-                & (cnt > c * S),
+                pred,
                 chunk_body,
                 lambda carry: carry,
                 (acc, carry_T),
             )
+            live = live + jnp.where(pred, float(S), 0.0)
 
         out_ref[b, :, 0:5] = acc
         out_ref[b, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
+        # Per-tile live horizon (entries processed before every pixel
+        # saturated), chunk-granular — consumers cap the backward transport
+        # at this rank and count cap violations (RasterizeConfig
+        # .max_bwd_splats_per_tile).
+        out_ref[b, 0:1, 5:6] = jnp.full((1, 1), live, jnp.float32)
 
 
 def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
@@ -215,7 +253,7 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             pc = p_ref[b, :, c * S:(c + 1) * S]
             alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
             lt = jnp.log1p(-alpha)
-            cum = _cumsum_lanes(lt, tri)
+            cum = _dot_tri_split(lt, tri)
             return cT * jnp.exp(cum[:, S - 1:S])
 
         carry_T = jax.lax.cond(
@@ -240,7 +278,7 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
                 pc, px, py, config
             )
             lt = jnp.log1p(-alpha)
-            cum = _cumsum_lanes(lt, tri)
+            cum = _dot_tri_split(lt, tri)
             T = carry_T * jnp.exp(cum - lt)                    # exclusive
             live = T > config.transmittance_min
             w = jnp.where(live, alpha * T, 0.0)
@@ -252,11 +290,8 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
                 preferred_element_type=jnp.float32, precision=_HI,
             )
             dw_w = dldw * w
-            # Inclusive suffix sum along lanes — one MXU matmul.
-            sfx_incl = jax.lax.dot_general(
-                dw_w, tri_s, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )
+            # Inclusive suffix sum along lanes — split-bf16 MXU matmul.
+            sfx_incl = _dot_tri_split(dw_w, tri_s)
             S_excl = sfx_incl - dw_w + sfx
             dlda = jnp.where(
                 live & (alpha > 0.0),
@@ -301,12 +336,10 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S, n_chunks,
             (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
             heavy, skip, suffix,
         )
-        # Emit ROW-major [S, 16]: the output [T, K, 16] then flattens to the
-        # row-major [T*K, 16] the gather VJP consumes. Emitting channel-major
-        # [T, 16, K] instead lets XLA turn the transpose-back into a free
-        # layout flip, which silently makes every downstream gather read
-        # strided elements (profiled 3x slower at bench scale).
-        d_ref[b, c * S:(c + 1) * S, :] = dchunk.T
+        # Emit channel-major [10, S] directly (no per-chunk transpose): the
+        # gather VJP now consumes the cotangent table as ten 1-D COLUMNS
+        # (sort operands), each a contiguous [T, K] slab of this layout.
+        d_ref[b, :, c * S:(c + 1) * S] = dchunk
 
 
 # --------------------------------------------------------------------------
@@ -331,7 +364,9 @@ def composite_tiles_pallas(
     config: RasterizeConfig,
 ):
     """Per-tile front-to-back compositing. Returns (rgb [T,P,3], alpha [T,P],
-    depth [T,P]) with P = ts*ts (row-major pixels).
+    depth [T,P], live [T] f32) with P = ts*ts (row-major pixels); `live` is
+    each tile's early-termination horizon in entries (chunk-granular) — the
+    depth rank past which gradients are identically zero.
 
     `gT` channels: (mx_local, my_local, conic_a, conic_b, conic_c, opacity,
     r, g, b, depth). The caller produces it as
@@ -371,7 +406,8 @@ def _fwd_impl(gT, counts, ts, config):
         interpret=_interpret(),
         compiler_params=_params(),
     )(cnt_i, params)
-    return out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3]
+    return (out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3],
+            out[:T0, 0, 5])
 
 
 def _fwd_rule(gT, counts, ts, config):
@@ -381,7 +417,7 @@ def _fwd_rule(gT, counts, ts, config):
 
 def _bwd_rule(ts, config, residuals, cotangents):
     gT, counts = residuals
-    g_rgb, g_alpha, g_depth = cotangents
+    g_rgb, g_alpha, g_depth, _ = cotangents
     T0, _, K = gT.shape
     P = ts * ts
     S = _CHUNK
@@ -417,16 +453,17 @@ def _bwd_rule(ts, config, residuals, cotangents):
             pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, K_pad, _NCH), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, K_pad, _NCH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, _NCH, K_pad), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
     )(cnt_i, params, ct)
 
-    # [T, K, 16] -> cotangent of gT [T, 16, K]: this transpose CANCELS with
-    # the caller-side transpose(g), so XLA never materializes either.
-    d_gT = jnp.transpose(d_params[:T0, :K, :], (0, 2, 1))
+    # Channel-major [T, 10, K] is already the cotangent layout of gT; the
+    # caller-side transpose(g) autodiff then presents the gather VJP with a
+    # [T, K, 10] VIEW whose per-channel column slices are contiguous slabs.
+    d_gT = d_params[:T0, :, :K]
     return d_gT, jnp.zeros_like(counts)
 
 

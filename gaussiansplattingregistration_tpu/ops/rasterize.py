@@ -60,6 +60,15 @@ class RasterizeConfig:
     alpha_max: float = 0.999          # saturating alpha (3DGS)
     transmittance_min: float = 1e-4   # early-termination threshold (3DGS)
     backend: str = "xla"              # "xla" (lax.map chunks) | "pallas" (fused kernels)
+    # Backward-transport cap: only the first `max_bwd_splats_per_tile` depth
+    # ranks of each tile carry gradients back to splats. EXACT whenever every
+    # tile's early-termination horizon (the rank at which all of its pixels
+    # saturate, T <= transmittance_min) is <= the cap — gradients past the
+    # horizon are identically zero. None = max_splats_per_tile (always
+    # exact). When a tile's horizon exceeds the cap its tail gradients are
+    # dropped; `rasterize_arrays_with_stats` counts such tiles
+    # (`bwd_cap_violations`).
+    max_bwd_splats_per_tile: Optional[int] = None
 
 
 DEFAULT_CONFIG = RasterizeConfig()
@@ -217,6 +226,7 @@ def _build_tile_table(
     config: RasterizeConfig,
     ty_offset: int = 0,
     tiles_y_window: Optional[int] = None,
+    with_stats: bool = False,
 ):
     """Build the per-tile table [num_tiles, K] of depth-sorted SPLAT ids.
 
@@ -242,17 +252,22 @@ def _build_tile_table(
     the slab — the unit of tile-sharding across devices
     (parallel/sharded_raster.py).
 
-    Returns (table [num_tiles, K] int32 splat ids with -1 for empty slots,
-    sorted_entry, dest, counts [num_tiles] int32 post-truncation occupancy).
+    Returns (table [num_tiles, K] int32 ENTRY ids (splat_id * C + c) with -1
+    for empty slots, sorted_entry, dest, counts [num_tiles] int32
+    post-truncation occupancy, build_stats) where build_stats is None unless
+    `with_stats`, else a dict of truncation counters (see
+    `rasterize_arrays_with_stats`). Consumers derive splat ids as
+    `table // C`; the entry ids are what the gradient transport needs
+    (`gather_entries`' VJP sorts cotangent rows by entry id).
     """
     n = means2d.shape[0]
     ts = float(config.tile_size)
     if tiles_y_window is None:
         tiles_y_window = tiles_y
     num_tiles = tiles_x * tiles_y_window
-    if config.backend == "pallas" and n >= (1 << 22):
+    if config.backend == "pallas" and n * config.max_tiles_per_splat > (1 << 24):
         raise ValueError(
-            "splat ids exceed the exact-bf16-conv range (2^22); "
+            "entry ids exceed the exact-bf16-conv range (2^24); "
             "shard the splat axis (parallel/sharded_raster.py) instead"
         )
 
@@ -318,7 +333,6 @@ def _build_tile_table(
         # undefined behavior even in drop mode.
         num_tiles * K + idx,
     )
-    sorted_splat = sorted_entry // config.max_tiles_per_splat
     if config.backend == "pallas":
         # Tile runs are contiguous in the sorted order: recover each run's
         # start with a binary search (22 gathers over [T] queries) and slice
@@ -328,64 +342,174 @@ def _build_tile_table(
         bounds = jnp.searchsorted(
             sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
-        counts = jnp.minimum(bounds[1:] - bounds[:-1], K)
-        table = _align_runs_conv(sorted_splat, bounds[:-1], counts,
+        runs = bounds[1:] - bounds[:-1]
+        counts = jnp.minimum(runs, K)
+        table = _align_runs_conv(sorted_entry, bounds[:-1], counts,
                                  num_tiles, K)
     else:
         table = jnp.full(num_tiles * K, -1, jnp.int32).at[dest].set(
-            sorted_splat, unique_indices=True, mode="drop"
+            sorted_entry, unique_indices=True, mode="drop"
         ).reshape(num_tiles, K)
         counts = jnp.sum(table >= 0, axis=1, dtype=jnp.int32)
-    return table, sorted_entry, dest, counts
+        runs = None
+    build_stats = None
+    if with_stats:
+        if runs is None:  # xla path: recover pre-truncation run lengths
+            bounds = jnp.searchsorted(
+                sorted_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            runs = bounds[1:] - bounds[:-1]
+        build_stats = {
+            # valid splats whose tile coverage exceeds C: their trailing
+            # tiles are skipped (bounded-coverage contract)
+            "coverage_clipped_splats": jnp.sum(
+                valid & ((w * h) > C)
+            ).astype(jnp.int32),
+            # tiles whose occupancy exceeded K: their back-most splats were
+            # dropped (front-most kept — the sort is by depth)
+            "overflow_tiles": jnp.sum(runs > K).astype(jnp.int32),
+            "dropped_entries": jnp.sum(
+                jnp.maximum(runs - K, 0)
+            ).astype(jnp.int32),
+            "total_entries": jnp.sum(runs).astype(jnp.int32),
+        }
+    return table, sorted_entry, dest, counts, build_stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def gather_entries(
     packed: jax.Array,        # [N, F]
-    table: jax.Array,         # [T, K] splat ids or -1
+    table: jax.Array,         # [T, K] ENTRY ids (splat * C + c) or -1
     sorted_entry: jax.Array,  # [N*C] entry ids in sorted-key order
     dest: jax.Array,          # [N*C] flat table slot per sorted entry (or OOB)
     C: int,
+    k_bwd: Optional[int] = None,
 ) -> jax.Array:
     """Gather per-splat rows [N, F] into the tile table layout [T, K, F].
 
-    table holds splat ids in [0, N) or -1. The custom VJP avoids XLA's
-    scatter entirely (TPU scatters run ~100 ns per row, serialized): it
-    inverts the entry->slot mapping with one more sort of the
-    (sorted_entry, dest) pairs produced by the table build, then GATHERS
-    each entry's cotangent row from the cotangent table — as C separate
-    [N]-row gathers summed in registers, NOT one [N*C]-row gather whose
-    output XLA lays out column-major (profiled 77 ms vs ~31 ms at bench
-    scale). Sort + gather are both parallel-friendly on TPU; the backward
-    costs ~the same as the forward instead of ~100x more.
+    The backward is the hard part on TPU (SURVEY.md §7 hard part #1): CUDA
+    accumulates per-splat gradients with atomics; XLA's scatter runs ~100
+    ns/row serialized (profiled 46 ms for 0.46M rows) and a plain inverse-
+    permutation gather costs ~12 ns/row with no locality to exploit
+    (profiled 46-77 ms at bench scale). The VJP here lands cotangents with
+    sorts + one MXU matmul instead — no scatter, no big random gather:
+
+    1. (optionally) cap the cotangent table at the first `k_bwd` depth ranks
+       per tile — exact whenever every tile's early-termination horizon
+       <= k_bwd (gradients past the horizon are identically zero; see
+       RasterizeConfig.max_bwd_splats_per_tile);
+    2. sort the [T*KB] cotangent rows by their ENTRY id (table carries entry
+       ids), an 11-operand 1-pass value sort — cotangent rows land grouped
+       by splat, depth-major within splat;
+    3. recover each entry's position in that sorted stream: a 2-column sort
+       of (sorted_entry, live-bit) gives per-entry liveness in dense entry
+       order, and its exclusive cumsum is exactly the position (entries of
+       one splat are consecutive ids, so positions are window-local);
+    4. land with ONE batched one-hot matmul per 128-splat block
+       ([128, C*128+128] selector x [window, F] rows, MXU, HIGHEST): the
+       selector folds the <=C live entries of each splat in the same
+       contraction — the [N, C, F] reshape-sum never materializes.
     """
-    splat = jnp.maximum(table, 0)
+    splat = jnp.where(table >= 0, table // C, 0)
     return packed[splat] * (table >= 0).astype(packed.dtype)[..., None]
 
 
-def _gather_entries_fwd(packed, table, sorted_entry, dest, C):
-    out = gather_entries(packed, table, sorted_entry, dest, C)
-    num_slots = table.shape[0] * table.shape[1]
-    return out, (sorted_entry, dest, packed.shape[0], num_slots)
+def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd):
+    out = gather_entries(packed, table, sorted_entry, dest, C, k_bwd)
+    return out, (table, sorted_entry, dest, packed.shape[0])
 
 
-def _gather_entries_bwd(C, residuals, ct):
-    sorted_entry, dest, n, num_slots = residuals
+def _land_rows(R2, pos0, any_live, n, C, F, block=32):
+    """d_packed[n] = any_live[n] ? folded_rows[pos0[n]] : 0, via windowed
+    one-hot MXU dots.
+
+    `pos0` is non-decreasing with increments <= C, so the `block` sources of
+    one output block lie in a window of C*block + 128 rows — gather two
+    128-row panels per block and select with an exact 0/1 operand (HIGHEST
+    keeps the selected f32 values f32-grade: each output is ONE row).
+    A plain XLA row gather costs ~12 ns/row (~12 ms for 1M rows) with no
+    locality to exploit; this runs at the memory cost of the [nb, block, W]
+    selector (~1 GB at bench scale, ~2.5 ms)."""
+    M = R2.shape[0] * 128 // (128)  # rows as [M/128, 128*F] panels
+    n_panel_rows = R2.shape[0]
+    W = C * block + 128
+    assert W % 128 == 0
+    nb = -(-n // block)
+    pos0 = jnp.pad(pos0, (0, nb * block - n))
+    any_live = jnp.pad(any_live, (0, nb * block - n))
+    posb = pos0.reshape(nb, block)
+    livb = any_live.reshape(nb, block)
+    base = (posb[:, 0] // 128) * 128                          # [nb] aligned
+    loc = posb - base[:, None]                                # [nb, block]
+    iota = jnp.arange(128, dtype=jnp.int32)
+    out = jnp.zeros((nb, block, F), jnp.float32)
+    for p in range(W // 128):
+        rows_p = jnp.minimum(base // 128 + p, n_panel_rows - 1)
+        win_p = R2[rows_p].reshape(nb, 128, F)
+        onehot = (
+            (iota[None, None, :] == (loc[:, :, None] - p * 128))
+            & livb[:, :, None]
+        ).astype(jnp.float32)
+        out = out + jax.lax.dot_general(
+            onehot, win_p,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return out.reshape(nb * block, F)[:n]
+
+
+def _gather_entries_bwd(C, k_bwd, residuals, ct):
+    table, sorted_entry, dest, n = residuals
+    T, K = table.shape
     F = ct.shape[-1]
-    # Materialize the cotangent table in row-major layout BEFORE the gathers:
-    # when ct arrives as a transpose view (the pallas path produces
-    # [T, 16, K] and autodiff transposes it back), XLA otherwise fuses the
-    # transpose INTO each gather, turning row gathers into strided element
-    # reads (profiled 3x slower at bench scale).
-    ct = jax.lax.optimization_barrier(ct)
-    # Invert entry -> slot by sorting the pairs by entry id (every entry id
-    # in [0, N*C) appears exactly once in sorted_entry).
-    _, slot_by_entry = jax.lax.sort((sorted_entry, dest), num_keys=1)
-    ct_flat = ct.reshape(-1, F)
-    safe = jnp.minimum(slot_by_entry, num_slots - 1)
-    d_entry = ct_flat[safe] * (slot_by_entry < num_slots).astype(ct.dtype)[:, None]
-    d_packed = d_entry.reshape(n, C, F).sum(axis=1)
-    return d_packed, None, None, None
+    KB = K if k_bwd is None else min(k_bwd, K)
+    num_slots = T * K
+    M = T * KB
+    M_pad = ((M + 127) // 128) * 128
+
+    # 2. Sort cotangent rows by entry id (dead slots last via the sentinel).
+    eid = table[:, :KB].reshape(-1)
+    key = jnp.where(eid >= 0, eid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    cols = tuple(ct[:, :KB, f].reshape(-1) for f in range(F))
+    sorted_all = jax.lax.sort((key,) + cols, num_keys=1)
+    eid_sorted = sorted_all[0]
+    R_rows = jnp.stack(sorted_all[1:], axis=-1)              # [M, F]
+
+    # 3. Fold each splat's <= C rows (consecutive: entry ids of splat n are
+    # [n*C, n*C + C)) onto its FIRST row with shifted masked adds.
+    splat_sorted = eid_sorted // jnp.uint32(C)               # dead -> huge
+    folded = R_rows
+    for d in range(1, C):
+        same = jnp.pad(
+            splat_sorted[d:] == splat_sorted[:-d], (0, d)
+        ).astype(jnp.float32)[:, None]
+        shifted = jnp.pad(R_rows[d:], ((0, d), (0, 0)))
+        folded = folded + shifted * same
+    if M_pad != M:
+        folded = jnp.pad(folded, ((0, M_pad - M), (0, 0)))
+
+    # 4. Per-entry liveness in dense entry order -> per-splat live count
+    # (strided windows, NOT strided slices: pos[::C] lowers to a ~18
+    # ns/element gather, ~18 ms at bench scale) -> position of each splat's
+    # first live row by exclusive cumsum over splats.
+    live_s = (dest < num_slots) & ((dest % K) < KB)
+    _, live_dense = jax.lax.sort(
+        (sorted_entry, live_s.astype(jnp.int32)), num_keys=1
+    )
+    cnt = jax.lax.reduce_window(
+        live_dense, 0, jax.lax.add,
+        window_dimensions=(C,), window_strides=(C,), padding="VALID",
+    )                                                        # [N]
+    pos0 = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)         # exclusive
+    any_live = cnt > 0
+
+    # 5. Windowed one-hot landing: one row per splat.
+    return (
+        _land_rows(folded.reshape(M_pad // 128, 128 * F), pos0, any_live,
+                   n, C, F),
+        None, None, None,
+    )
 
 
 gather_entries.defvjp(_gather_entries_fwd, _gather_entries_bwd)
@@ -460,13 +584,15 @@ def rasterize_tile_slab(
     config: RasterizeConfig,
     ty_offset: int = 0,
     tiles_y_window: Optional[int] = None,
+    with_stats: bool = False,
 ):
     """Bin + sort + composite projected splats over a horizontal tile slab.
 
     Returns (rgb [win_h, W, 3], alpha [win_h, W], depth [win_h, W]) where
     win_h = tiles_y_window * tile_size and W = tiles_x * tile_size (callers
     crop to the true image width/height). This is the per-device unit of the
-    tile-sharded multi-chip rasterizer.
+    tile-sharded multi-chip rasterizer. With `with_stats`, returns a fourth
+    element: the truncation-counter dict of `rasterize_arrays_with_stats`.
     """
     ts = config.tile_size
     if tiles_y_window is None:
@@ -474,9 +600,10 @@ def rasterize_tile_slab(
     num_tiles = tiles_x * tiles_y_window
 
     op = opacity * valid.astype(opacity.dtype)
-    table, sorted_entry, dest, counts = _build_tile_table(
+    table, sorted_entry, dest, counts, build_stats = _build_tile_table(
         means2d, radius, depth, valid, tiles_x, tiles_y, config,
         ty_offset=ty_offset, tiles_y_window=tiles_y_window,
+        with_stats=with_stats,
     )                                                         # [T, K]
     tile_entry_valid = table >= 0
 
@@ -500,7 +627,8 @@ def rasterize_tile_slab(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
         g = gather_entries(
-            packed, table, sorted_entry, dest, config.max_tiles_per_splat
+            packed, table, sorted_entry, dest, config.max_tiles_per_splat,
+            config.max_bwd_splats_per_tile,
         )                                                     # [T, K, 10]
         gT = jnp.transpose(g, (0, 2, 1))                      # [T, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
@@ -508,7 +636,7 @@ def rasterize_tile_slab(
         origin10 = origin10.at[:, 0].set(tile_origin[:, 0])
         origin10 = origin10.at[:, 1].set(tile_origin[:, 1])
         gT = gT - origin10[:, :, None]
-        rgb, alpha, depthmap = raster_pallas.composite_tiles_pallas(
+        rgb, alpha, depthmap, live = raster_pallas.composite_tiles_pallas(
             gT, counts[:, None].astype(means2d.dtype), ts, config
         )
     else:
@@ -518,7 +646,8 @@ def rasterize_tile_slab(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
         g = gather_entries(
-            packed, table, sorted_entry, dest, config.max_tiles_per_splat
+            packed, table, sorted_entry, dest, config.max_tiles_per_splat,
+            config.max_bwd_splats_per_tile,
         )                                                     # [T, K, 10]
         B = config.tile_chunk
         pad = (-num_tiles) % B
@@ -546,6 +675,33 @@ def rasterize_tile_slab(
         rgb = rgb.reshape(num_tiles + pad, P, 3)[:num_tiles]
         alpha = alpha.reshape(num_tiles + pad, P)[:num_tiles]
         depthmap = depthmap.reshape(num_tiles + pad, P)[:num_tiles]
+        live = None   # xla path composites every occupied slot
+
+    if with_stats:
+        KB = config.max_bwd_splats_per_tile
+        KB = K if KB is None else min(KB, K)
+        if live is not None:
+            live_i = jax.lax.stop_gradient(live).astype(jnp.int32)
+            effective = jnp.minimum(counts, live_i)
+            live_stats = {
+                # tiles whose early-termination horizon exceeds the backward
+                # cap: their tail gradients are dropped (see RasterizeConfig
+                # .max_bwd_splats_per_tile)
+                "bwd_cap_violations": jnp.sum(effective > KB).astype(jnp.int32),
+                "max_live": jnp.max(effective).astype(jnp.int32),
+                "mean_live": jnp.mean(effective.astype(jnp.float32)),
+            }
+        else:
+            # xla backend has no per-tile horizon output; report the
+            # conservative bound (occupancy).
+            live_stats = {
+                "bwd_cap_violations": jnp.sum(counts > KB).astype(jnp.int32),
+                "max_live": jnp.max(counts).astype(jnp.int32),
+                "mean_live": jnp.mean(counts.astype(jnp.float32)),
+            }
+        stats = dict(build_stats or {})
+        stats.update(live_stats)
+        stats["max_count"] = jnp.max(counts).astype(jnp.int32)
 
     def tiles_to_image(tiles, ch):
         img = tiles.reshape(tiles_y_window, tiles_x, ts, ts, ch)
@@ -553,11 +709,12 @@ def rasterize_tile_slab(
             tiles_y_window * ts, tiles_x * ts, ch
         )
 
-    return (
+    out = (
         tiles_to_image(rgb, 3),
         tiles_to_image(alpha[..., None], 1)[..., 0],
         tiles_to_image(depthmap[..., None], 1)[..., 0],
     )
+    return out + (stats,) if with_stats else out
 
 
 @functools.partial(
@@ -599,6 +756,64 @@ def rasterize_arrays(
 
     img_rgb = img_rgb + (1.0 - img_alpha[..., None]) * background[None, None, :]
     return img_rgb, img_alpha, img_depth
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "sh_degree", "config")
+)
+def rasterize_arrays_with_stats(
+    means: jax.Array,
+    cov3d: jax.Array,
+    opacity: jax.Array,
+    features: jax.Array,
+    viewmat: jax.Array,
+    intrinsics: jax.Array,
+    width: int,
+    height: int,
+    sh_degree: int,
+    background: jax.Array,
+    config: RasterizeConfig = DEFAULT_CONFIG,
+):
+    """`rasterize_arrays` plus the truncation/termination counters.
+
+    The rasterizer trades CUDA's dynamic allocation for static bounds
+    (SURVEY.md §7 hard part #2); this is the observability contract for
+    those bounds. Returns (rgb, alpha, depth, stats) with stats a dict of
+    scalars:
+
+    - coverage_clipped_splats: valid splats covering more than
+      `max_tiles_per_splat` tiles — their trailing tiles are skipped.
+    - overflow_tiles / dropped_entries / total_entries: tiles whose
+      occupancy exceeded `max_splats_per_tile`; the back-most (deepest)
+      entries are dropped, front-most kept.
+    - bwd_cap_violations: tiles whose early-termination horizon exceeds
+      `max_bwd_splats_per_tile` — their gradient tails are dropped
+      (pallas backend; the xla backend reports the conservative occupancy
+      bound).
+    - max_live / mean_live: per-tile early-termination horizon (entries
+      composited before every pixel saturated; chunk-granular).
+    - max_count: maximum post-truncation tile occupancy.
+
+    Zero counters == the static bounds were exact for this scene/view.
+    """
+    ts = config.tile_size
+    tiles_x = -(-width // ts)
+    tiles_y = -(-height // ts)
+
+    proj = project_gaussians(means, cov3d, viewmat, intrinsics, width, height, config)
+    cam_center = -(viewmat[:3, :3].T @ viewmat[:3, 3])
+    colors = compute_view_colors(features, means, cam_center, sh_degree)
+
+    img_rgb, img_alpha, img_depth, stats = rasterize_tile_slab(
+        proj["means2d"], proj["conic"], proj["depth"], proj["radius"],
+        proj["valid"], colors, opacity, tiles_x, tiles_y, config,
+        with_stats=True,
+    )
+    img_rgb = img_rgb[:height, :width]
+    img_alpha = img_alpha[:height, :width]
+    img_depth = img_depth[:height, :width]
+    img_rgb = img_rgb + (1.0 - img_alpha[..., None]) * background[None, None, :]
+    return img_rgb, img_alpha, img_depth, stats
 
 
 def rasterize(

@@ -271,3 +271,83 @@ def test_projection_culling(rng):
     )
     assert not bool(proj_b["valid"][0])
     assert np.asarray(proj["depth"]).min() > 0
+
+
+def test_stats_counters_trip_on_pathological_scene(rng):
+    """SURVEY §7 hard part #2: truncation must be observable, not silent.
+
+    A scene with huge splats (coverage > max_tiles_per_splat) and a tiny
+    per-tile budget (occupancy > max_splats_per_tile) must trip the
+    counters; a benign scene must report zeros."""
+    import dataclasses
+
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        rasterize_arrays_with_stats,
+    )
+
+    cam = make_camera()
+    bg = jnp.zeros(3, jnp.float32)
+
+    # Pathological: 64 large overlapping splats, coverage cap 1, tile cap 8.
+    cloud = make_scene(rng, n=64, sh_degree=0, spread=0.3, scale=(0.5, 0.8))
+    config = RasterizeConfig(
+        max_tiles_per_splat=1, max_splats_per_tile=8, backend="xla"
+    )
+    *_, stats = rasterize_arrays_with_stats(
+        cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+        cloud.get_features, cam.viewmat, cam.intrinsics,
+        WIDTH, HEIGHT, 0, bg, config,
+    )
+    assert int(stats["coverage_clipped_splats"]) > 0
+    assert int(stats["overflow_tiles"]) > 0
+    assert int(stats["dropped_entries"]) > 0
+
+    # Benign: generous budgets -> all counters zero.
+    config2 = RasterizeConfig(
+        max_tiles_per_splat=64, max_splats_per_tile=256, backend="xla"
+    )
+    *_, stats2 = rasterize_arrays_with_stats(
+        cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+        cloud.get_features, cam.viewmat, cam.intrinsics,
+        WIDTH, HEIGHT, 0, bg, config2,
+    )
+    assert int(stats2["coverage_clipped_splats"]) == 0
+    assert int(stats2["overflow_tiles"]) == 0
+    assert int(stats2["dropped_entries"]) == 0
+    assert int(stats2["bwd_cap_violations"]) == 0
+
+
+def test_bwd_cap_exactness_and_truncation(rng):
+    """max_bwd_splats_per_tile == K must reproduce the uncapped gradients
+    bit-for-bit; a tiny cap must (by design) drop gradient tails on a deep
+    scene — and the drop must only ever REMOVE contributions."""
+    cloud = make_scene(rng, n=96, sh_degree=0, spread=0.2, scale=(0.2, 0.4))
+    cam = make_camera()
+    bg = jnp.zeros(3, jnp.float32)
+    K = 64
+
+    def grads(config):
+        def loss(op):
+            rgb, _, _ = rasterize_arrays(
+                cloud.xyz, cloud.get_covariance(), op,
+                cloud.get_features, cam.viewmat, cam.intrinsics,
+                WIDTH, HEIGHT, 0, bg, config,
+            )
+            return jnp.sum(rgb)
+
+        return jax.grad(loss)(cloud.get_opacity[:, 0])
+
+    base = RasterizeConfig(
+        max_tiles_per_splat=8, max_splats_per_tile=K, backend="xla"
+    )
+    g_none = grads(base)
+    import dataclasses
+
+    g_full = grads(dataclasses.replace(base, max_bwd_splats_per_tile=K))
+    np.testing.assert_array_equal(np.asarray(g_none), np.asarray(g_full))
+
+    g_tiny = grads(dataclasses.replace(base, max_bwd_splats_per_tile=4))
+    # The capped backward must differ on this deep scene (tails dropped)...
+    assert not np.allclose(np.asarray(g_none), np.asarray(g_tiny))
+    # ...and dropping can only shrink the opacity-gradient magnitude mass.
+    assert np.abs(np.asarray(g_tiny)).sum() <= np.abs(np.asarray(g_none)).sum() + 1e-6
