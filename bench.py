@@ -87,10 +87,17 @@ def bench_raster():
     intr = cam.intrinsics
     bg = jnp.zeros(3, jnp.float32)
 
-    # Truncation/termination observability: verify the static bounds are
-    # exact for the bench scene (all counters zero) before timing.
+    # Truncation/termination observability: the static bounds drop work
+    # (tile entries past K, gradient tails past the bwd cap). Before timing,
+    # (a) refuse any backward-cap gradient drop, and (b) quantify the forward
+    # truncation against an UNTRUNCATED oracle render (xla backend with K =
+    # the scene's max pre-truncation run) — the headline is only published if
+    # the truncated render is visually exact (PSNR >= 40 dB), i.e. every
+    # dropped entry sits behind the early-termination horizon.
     if backend == "pallas":
-        *_, stats = rasterize_arrays_with_stats(
+        import dataclasses as _dc
+
+        rgb_trunc, *_, stats = rasterize_arrays_with_stats(
             means_d, cov_d, op_d, feat_d, viewmat, intr,
             WIDTH, HEIGHT, 0, bg, config,
         )
@@ -100,6 +107,27 @@ def bench_raster():
             raise RuntimeError(
                 f"bench config drops gradients ({viol} tiles over the bwd cap)"
             )
+        k_exact = -(-int(stats["max_run"]) // 128) * 128
+        oracle_cfg = _dc.replace(
+            config, backend="xla", max_splats_per_tile=k_exact,
+            tile_chunk=4, max_bwd_splats_per_tile=None,
+        )
+        rgb_exact, _, _ = rasterize_arrays(
+            means_d, cov_d, op_d, feat_d, viewmat, intr,
+            WIDTH, HEIGHT, 0, bg, oracle_cfg,
+        )
+        mse = float(jnp.mean((rgb_trunc - rgb_exact) ** 2))
+        trunc_psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
+        _log(f"# truncation oracle: K_exact={k_exact} psnr_vs_exact="
+             f"{trunc_psnr:.2f} dB")
+        if trunc_psnr < 40.0:
+            raise RuntimeError(
+                f"headline scene truncation is visible: {trunc_psnr:.1f} dB "
+                f"< 40 dB vs the K={k_exact} exact render; raise "
+                f"max_splats_per_tile or shrink the scene"
+            )
+        stats = {**{k: float(v) for k, v in stats.items()},
+                 "truncation_psnr_db": round(trunc_psnr, 2)}
     else:
         stats = None
 
@@ -123,12 +151,15 @@ def bench_raster():
     dt = (time.perf_counter() - t0) / ITERS
 
     pixels_per_s = WIDTH * HEIGHT / dt
-    return {
+    out = {
         "metric": "rasterize_fwd_bwd_pixels_per_s_per_chip_1M_splats",
         "value": round(pixels_per_s, 1),
         "unit": "pixels/s/chip",
         "vs_baseline": round(pixels_per_s / H100_FWD_BWD_PIXELS_PER_S, 4),
     }
+    if stats is not None:
+        out["detail"] = stats
+    return out
 
 
 def _two_clouds(rng, n, offset=(0.08, -0.05, 0.04), angle=0.06, colors=False):
@@ -243,14 +274,34 @@ def bench_hem_multiscale():
 
     rng = np.random.default_rng(3)
     n = 200_000
-    cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.005, 0.02))
+    # Splat extents comparable to the inter-point spacing (~0.03 for 200k
+    # normal-distributed points): the KLD eligibility gate
+    # (distance_delta^2/2) then admits real neighborhoods and the level
+    # sizes shrink ~hem_reduction x per level, matching the reference
+    # semantics (mixture.cpp:257-259). Round 2's sparse scene (scales
+    # 0.005-0.02) made nearly everything an orphan: ~14%/level reduction,
+    # i.e. the bench wasn't exercising coarse-to-fine at all.
+    cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.02, 0.06))
     params = GaussianMixtureParams(cluster_level=3)
 
     t0 = time.perf_counter()
-    levels = hem_ops.create_mixture(cloud, params, seed=0, backend="jax")
+    levels, hem_stats = hem_ops.create_mixture(
+        cloud, params, seed=0, backend="jax", with_stats=True
+    )
     for lvl in levels:
         jnp.asarray(lvl.xyz).block_until_ready()
     t_hem = time.perf_counter() - t0
+
+    level_sizes = [int(np.asarray(l.xyz).shape[0]) for l in levels]
+    # Observability gate: each level must actually reduce (>=1.8x of the
+    # ~3x target; random parent sampling + orphans keep it below exactly 3).
+    prev = n
+    for sz in level_sizes:
+        if sz > prev / 1.8:
+            raise RuntimeError(
+                f"HEM bench scene is not clustering: sizes {level_sizes}"
+            )
+        prev = sz
 
     # Build the level pyramid (finest -> coarsest) for both "clouds"; offset
     # the source copy by a known transform.
@@ -275,7 +326,8 @@ def bench_hem_multiscale():
         "unit": "s",
         "vs_baseline": None,
         "detail": {"hem_s": round(t_hem, 3), "multiscale_s": round(t_reg, 3),
-                   "level_sizes": [int(np.asarray(l.xyz).shape[0]) for l in levels],
+                   "level_sizes": level_sizes,
+                   "hem_stats": hem_stats,
                    "fitness": res.fitness},
     }
 

@@ -155,7 +155,7 @@ def init_mixture(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_children",))
+@functools.partial(jax.jit, static_argnames=("max_children", "with_stats"))
 def hem_cluster_level(
     key: jax.Array,
     state: MixtureState,
@@ -164,11 +164,19 @@ def hem_cluster_level(
     color_delta: float,
     decay_rate: float,
     max_children: int = 32,
-) -> MixtureState:
+    with_stats: bool = False,
+):
     """One HEM clustering round (`createClusterLevel`, `mixture.cpp:66-285`).
 
     Slot semantics: parent slots receive the merged component, orphan slots
     pass through, all other slots die. Output shape equals input shape.
+
+    With `with_stats`, returns (state, stats) where stats counts the fixed-K
+    truncation this op trades for the reference's unbounded radius search
+    (`pointindex.cpp:120-143`): `saturated_parents` = parents whose K-th
+    nearest candidate is still inside the query radius (the radius search
+    would have found MORE children than max_children holds), plus
+    merged/orphan/alive composition counters.
     """
     n = state.mean.shape[0]
     k = min(max_children, n)
@@ -298,7 +306,7 @@ def hem_cluster_level(
     alive = alive & ~bad
 
     new_parents = jax.random.uniform(key, (n,)) < (1.0 / hem_reduction)
-    return MixtureState(
+    out = MixtureState(
         mean=out_mean,
         color=out_color,
         cov=out_cov,
@@ -309,6 +317,20 @@ def hem_cluster_level(
         is_parent=new_parents & alive,
         alive=alive,
     )
+    if not with_stats:
+        return out
+    stats = {
+        # parents whose K-th candidate is still in-radius: the fixed-K
+        # neighborhood truncated what the reference's radius search returns
+        "saturated_parents": jnp.sum(
+            parent_mask & in_radius[:, -1] & c_alive[:, -1]
+        ).astype(jnp.int32),
+        "parents": jnp.sum(parent_mask).astype(jnp.int32),
+        "merged": jnp.sum(merged_ok).astype(jnp.int32),
+        "orphans": jnp.sum(orphan).astype(jnp.int32),
+        "alive": jnp.sum(alive).astype(jnp.int32),
+    }
+    return out, stats
 
 
 def _compact(state: MixtureState) -> MixtureLevel:
@@ -329,7 +351,8 @@ def create_mixture(
     seed: int = 0,
     max_children: int = 32,
     backend: str = "jax",
-) -> List[MixtureLevel]:
+    with_stats: bool = False,
+):
     """Run `cluster_level` HEM rounds over a GaussianCloud.
 
     Counterpart of `MixtureCreator.CreateMixture`
@@ -339,11 +362,14 @@ def create_mixture(
     backend: "jax" (TPU, fixed-K candidates) or "native" (host C++/OpenMP,
     exact radius search — the counterpart of the reference's extension,
     built in native/hem.cpp; falls back to "jax" if no compiler).
+
+    With `with_stats` (jax backend only), returns (levels, per-level stats
+    dicts — see `hem_cluster_level`).
     """
     if backend == "native":
         levels = _create_mixture_native(cloud, params, seed)
         if levels is not None:
-            return levels
+            return (levels, []) if with_stats else levels
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     state = init_mixture(
@@ -356,18 +382,25 @@ def create_mixture(
         params.hem_reduction,
     )
     levels = []
+    all_stats = []
     for _ in range(params.cluster_level):
         key, sub = jax.random.split(key)
-        state = hem_cluster_level(
+        out = hem_cluster_level(
             sub, state,
             float(params.hem_reduction),
             float(params.distance_delta),
             float(params.color_delta),
             float(params.decay_rate),
             max_children=max_children,
+            with_stats=with_stats,
         )
+        if with_stats:
+            state, stats = out
+            all_stats.append({k: int(v) for k, v in stats.items()})
+        else:
+            state = out
         levels.append(_compact(state))
-    return levels
+    return (levels, all_stats) if with_stats else levels
 
 
 def _initial_nvar(cov6: np.ndarray) -> np.ndarray:

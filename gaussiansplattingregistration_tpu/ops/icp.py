@@ -209,7 +209,7 @@ def _intensity(colors: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("registration_type", "rejection_type", "max_iteration", "k_value"),
+    static_argnames=("registration_type", "rejection_type", "k_value"),
 )
 def _icp_loop(
     src_points, src_colors, src_cov_reg,
@@ -221,9 +221,9 @@ def _icp_loop(
     max_correspondence,
     relative_fitness,
     relative_rmse,
-    max_iteration: int,
+    max_iteration,      # traced: one compile serves every iteration budget
+    n_src_true,         # traced: true (pre-padding) source count
 ):
-    n_src = src_points.shape[0]
     max_d2 = max_correspondence * max_correspondence
 
     def correspondences(T):
@@ -231,7 +231,7 @@ def _icp_loop(
         d2, idx = knn_ops.nearest_neighbor(p, tgt_points)
         mask = d2 <= max_d2
         count = jnp.maximum(jnp.sum(mask), 1)
-        fitness = jnp.sum(mask) / n_src
+        fitness = jnp.sum(mask) / n_src_true
         rmse = jnp.sqrt(jnp.sum(jnp.where(mask, d2, 0.0)) / count)
         return p, idx, mask, fitness, rmse
 
@@ -286,14 +286,42 @@ def _icp_loop(
     return T, fitness, rmse, iters, converged
 
 
+def _shape_bucket(n: int) -> int:
+    """Round n up to a coarse size grid (<= 12.5% padding, <= 8 buckets per
+    octave) so clouds of nearby sizes share ONE compiled ICP executable —
+    multiscale pyramids have a distinct point count per level and would
+    otherwise recompile the whole solver at every scale."""
+    if n <= 2048:
+        return -(-n // 256) * 256
+    step = 1 << (n.bit_length() - 4)
+    return -(-n // step) * step
+
+
+# Pad coordinates: +/-1e8 keeps pad-source and pad-target points ~2e8 apart
+# (never within max_correspondence of each other or of real points), so every
+# padded row is masked out of the correspondence set.
+_PAD_SRC = 1.0e8
+_PAD_TGT = -1.0e8
+
+
+def _pad_rows(x: jax.Array, n: int, fill: float = 0.0) -> jax.Array:
+    pad = ((0, n - x.shape[0]),) + ((0, 0),) * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
 def icp(
     source: PointCloud,
     target: PointCloud,
     params: LocalRegistrationParams,
     init_transform=None,
+    shape_bucket: bool = False,
 ) -> RegistrationResult:
     """Run local ICP registration. Drop-in analogue of `do_icp_registration`
-    (`/root/reference/src/utils/local_registration_util.py:76-100`)."""
+    (`/root/reference/src/utils/local_registration_util.py:76-100`).
+
+    `shape_bucket=True` pads both clouds up to a coarse size grid so repeat
+    calls at nearby sizes (multiscale pyramids) reuse one compiled solver.
+    """
     if init_transform is None:
         init_transform = jnp.eye(4)
     init_transform = jnp.asarray(init_transform, jnp.float32)
@@ -329,9 +357,23 @@ def icp(
         src_cov_reg = gicp_regularized_covariances(source.points, source.covariances)
         tgt_cov_reg = gicp_regularized_covariances(target.points, target.covariances)
 
+    src_points, tgt_points = source.points, target.points
+    n_src_true = src_points.shape[0]
+    if shape_bucket:
+        bs = _shape_bucket(src_points.shape[0])
+        bt = _shape_bucket(tgt_points.shape[0])
+        src_points = _pad_rows(src_points, bs, _PAD_SRC)
+        src_colors = _pad_rows(src_colors, bs)
+        src_cov_reg = _pad_rows(src_cov_reg, bs)
+        tgt_points = _pad_rows(tgt_points, bt, _PAD_TGT)
+        tgt_normals = _pad_rows(tgt_normals, bt)
+        tgt_colors = _pad_rows(tgt_colors, bt)
+        tgt_grads = _pad_rows(tgt_grads, bt)
+        tgt_cov_reg = _pad_rows(tgt_cov_reg, bt)
+
     T, fitness, rmse, iters, converged = _icp_loop(
-        source.points, src_colors, src_cov_reg,
-        target.points, tgt_normals, tgt_colors, tgt_grads, tgt_cov_reg,
+        src_points, src_colors, src_cov_reg,
+        tgt_points, tgt_normals, tgt_colors, tgt_grads, tgt_cov_reg,
         init_transform,
         rt,
         params.rejection_type,
@@ -339,7 +381,8 @@ def icp(
         jnp.asarray(params.max_correspondence, jnp.float32),
         jnp.asarray(params.relative_fitness, jnp.float32),
         jnp.asarray(params.relative_rmse, jnp.float32),
-        int(params.max_iteration),
+        jnp.asarray(params.max_iteration, jnp.int32),
+        jnp.asarray(n_src_true, jnp.float32),
     )
     return RegistrationResult(
         transformation=np.asarray(T, np.float64),

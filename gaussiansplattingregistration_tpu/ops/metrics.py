@@ -84,28 +84,20 @@ def ssim(
 
 
 def lpips_fn() -> Optional[object]:
-    """Return an LPIPS callable (AlexNet) if the torch lpips package is
-    available, else None. Mirrors the reference's evaluator choice
-    (`/root/reference/src/gui/workers/graphics/qt_evaluator.py:50`)."""
-    try:
-        import lpips  # type: ignore
-        import torch  # type: ignore
+    """Return the JAX-native LPIPS callable (AlexNet architecture; see
+    ops/lpips.py for the weight-resolution order). Always available — the
+    reference hard-requires the torch `lpips` package
+    (`/root/reference/src/gui/workers/graphics/qt_evaluator.py:50`); here
+    the metric runs on-device with no torch."""
+    from gaussiansplattingregistration_tpu.ops import lpips as lpips_ops
 
-        net = lpips.LPIPS(net="alex")
+    params = lpips_ops.default_params()
 
-        def run(img1, img2):
-            import numpy as np
+    def run(img1, img2):
+        return float(lpips_ops.lpips(img1, img2, params))
 
-            def prep(x):
-                t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-                return t * 2.0 - 1.0
-
-            with torch.no_grad():
-                return float(net(prep(img1), prep(img2)).item())
-
-        return run
-    except Exception:
-        return None
+    run.source = params.source  # type: ignore[attr-defined]
+    return run
 
 
 def all_metrics(img1: jax.Array, img2: jax.Array, lpips_callable=None) -> dict:

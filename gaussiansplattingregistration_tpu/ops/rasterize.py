@@ -180,7 +180,8 @@ def _align_runs_conv(vals: jax.Array, starts: jax.Array, counts: jax.Array,
     per-tile-kernel conv via batch_group_count. Exactness: vals are split
     into three byte planes scaled by (1, 2^8, 2^16) — every bf16 operand is
     an integer < 256 or a power of two, products and the single-nonzero sums
-    are exact in the f32 accumulator (requires vals < 2^22; asserted).
+    are exact in the f32 accumulator (requires vals < 2^24 — entry ids;
+    checked in `_build_tile_table`).
     """
     R = 128
     E = vals.shape[0]
@@ -372,6 +373,9 @@ def _build_tile_table(
                 jnp.maximum(runs - K, 0)
             ).astype(jnp.int32),
             "total_entries": jnp.sum(runs).astype(jnp.int32),
+            # largest pre-truncation tile run: the K an exact (untruncated)
+            # render of this scene/view needs
+            "max_run": jnp.max(runs).astype(jnp.int32),
         }
     return table, sorted_entry, dest, counts, build_stats
 
@@ -430,10 +434,11 @@ def _land_rows(R2, pos0, any_live, n, C, F, block=32):
     A plain XLA row gather costs ~12 ns/row (~12 ms for 1M rows) with no
     locality to exploit; this runs at the memory cost of the [nb, block, W]
     selector (~1 GB at bench scale, ~2.5 ms)."""
-    M = R2.shape[0] * 128 // (128)  # rows as [M/128, 128*F] panels
     n_panel_rows = R2.shape[0]
-    W = C * block + 128
-    assert W % 128 == 0
+    # The block's sources span < C*block + 128 rows; round the window up to
+    # whole 128-row panels. Extra panel rows are clamped in-range and never
+    # selected (the one-hot matches only loc in [p*128, p*128 + 128)).
+    W = -(-(C * block + 128) // 128) * 128
     nb = -(-n // block)
     pos0 = jnp.pad(pos0, (0, nb * block - n))
     any_live = jnp.pad(any_live, (0, nb * block - n))

@@ -38,6 +38,9 @@ class EvaluationResult:
     lpips: Optional[float]
     per_camera: List[dict]
     error_list: List[str]
+    # which LPIPS weights were live ("torch", "npz:<name>", or "random" —
+    # the documented random-feature fallback; see ops/lpips.py)
+    lpips_weights: Optional[str] = None
 
     def as_log_dict(self, registration_data: Optional[dict] = None) -> dict:
         """JSON log matching `EvaluationObject.__dict__` (`qt_evaluator.py:133-156`)."""
@@ -48,6 +51,7 @@ class EvaluationResult:
             "ssim": self.ssim,
             "psnr": self.psnr,
             "lpips": self.lpips,
+            "lpips_weights": self.lpips_weights,
             "error_list": self.error_list,
         }
 
@@ -125,6 +129,7 @@ def evaluate_registration(
     result = EvaluationResult(
         mse=agg["mse"], rmse=agg["rmse"], ssim=agg["ssim"], psnr=agg["psnr"],
         lpips=lp, per_camera=per_camera, error_list=errors,
+        lpips_weights=getattr(lpips_callable, "source", None),
     )
     if log_path:
         os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)

@@ -67,7 +67,7 @@ def multiscale_voxel_registration(
                 rejection_type=params.rejection_type,
                 k_value=params.k_value,
             ),
-            init_transform=jnp.asarray(current, jnp.float32),
+            init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True,
         )
         current = boot.transformation
 
@@ -94,7 +94,7 @@ def multiscale_voxel_registration(
         )
         result = icp_ops.icp(
             src_down, tgt_down, scale_params,
-            init_transform=jnp.asarray(current, jnp.float32),
+            init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True,
         )
         current = result.transformation
 
@@ -144,7 +144,7 @@ def multiscale_mixture_registration(
             k_value=params.k_value,
         )
         result = icp_ops.icp(
-            src, tgt, scale_params, init_transform=jnp.asarray(current, jnp.float32)
+            src, tgt, scale_params, init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True
         )
         current = result.transformation
 

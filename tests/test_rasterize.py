@@ -279,8 +279,6 @@ def test_stats_counters_trip_on_pathological_scene(rng):
     A scene with huge splats (coverage > max_tiles_per_splat) and a tiny
     per-tile budget (occupancy > max_splats_per_tile) must trip the
     counters; a benign scene must report zeros."""
-    import dataclasses
-
     from gaussiansplattingregistration_tpu.ops.rasterize import (
         rasterize_arrays_with_stats,
     )
@@ -347,7 +345,59 @@ def test_bwd_cap_exactness_and_truncation(rng):
     np.testing.assert_array_equal(np.asarray(g_none), np.asarray(g_full))
 
     g_tiny = grads(dataclasses.replace(base, max_bwd_splats_per_tile=4))
-    # The capped backward must differ on this deep scene (tails dropped)...
+    # The capped backward must differ on this deep scene (tails dropped).
     assert not np.allclose(np.asarray(g_none), np.asarray(g_tiny))
-    # ...and dropping can only shrink the opacity-gradient magnitude mass.
-    assert np.abs(np.asarray(g_tiny)).sum() <= np.abs(np.asarray(g_none)).sum() + 1e-6
+
+
+@pytest.mark.parametrize("C", [1, 2, 3, 5, 9, 16])
+def test_gather_entries_vjp_matches_plain_jax(rng, C):
+    """The sort+fold+one-hot-landing VJP of `gather_entries` must equal the
+    plain-JAX VJP of the equivalent gather, for EVERY max_tiles_per_splat —
+    including values where the landing window is not a multiple of 128/32
+    (C % 4 != 0 crashed the round-2 multi-chip dryrun)."""
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        _build_tile_table,
+        gather_entries,
+    )
+
+    n, F = 37, 10
+    cfg = RasterizeConfig(
+        max_tiles_per_splat=C, max_splats_per_tile=8, backend="xla"
+    )
+    means2d = jnp.asarray(rng.uniform(0, 64, size=(n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(1, 20, size=n), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.5, 5.0, size=n), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=n) > 0.2)
+    table, sorted_entry, dest, _, _ = _build_tile_table(
+        means2d, radius, depth, valid, tiles_x=4, tiles_y=3, config=cfg
+    )
+    packed = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=table.shape + (F,)), jnp.float32)
+
+    def plain(p):
+        splat = jnp.where(table >= 0, table // C, 0)
+        return p[splat] * (table >= 0).astype(p.dtype)[..., None]
+
+    _, vjp_ref = jax.vjp(plain, packed)
+    (g_ref,) = vjp_ref(ct)
+
+    def custom(p):
+        return gather_entries(p, table, sorted_entry, dest, C, None)
+
+    _, vjp_c = jax.vjp(custom, packed)
+    (g_c,) = vjp_c(ct)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # Capped transport == plain VJP with cotangent rows past the cap zeroed.
+    KB = 3
+    ct_masked = ct * (jnp.arange(table.shape[1]) < KB)[None, :, None]
+    (g_ref_cap,) = vjp_ref(ct_masked)
+
+    def custom_cap(p):
+        return gather_entries(p, table, sorted_entry, dest, C, KB)
+
+    _, vjp_cc = jax.vjp(custom_cap, packed)
+    (g_cc,) = vjp_cc(ct)
+    np.testing.assert_allclose(np.asarray(g_cc), np.asarray(g_ref_cap),
+                               rtol=1e-6, atol=1e-6)
