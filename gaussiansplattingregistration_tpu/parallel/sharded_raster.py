@@ -16,6 +16,13 @@ The distributed design SURVEY.md §5.7 calls for:
 
 Gradients: the whole thing is `shard_map`ped jnp, so `jax.grad` produces the
 backward pass with XLA inserting the reduce-scatter mirror of the all_gather.
+
+Scaling note: the all_gather keeps per-device memory and sort cost O(N_total).
+This is the simple/robust path; the scalable §5.7 design — depth-bucketed
+all_to_all + partial-composite merge with O(N/D) per-device memory — lives in
+parallel/compositor.py. Use this one for small N or when exact per-tile
+truncation semantics across device counts matter; use the compositor to scale
+N beyond a single device's memory.
 """
 
 from __future__ import annotations

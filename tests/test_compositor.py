@@ -1,0 +1,153 @@
+"""Depth-sharded compositor (§5.7) equivalence tests on the 8-vCPU mesh.
+
+The scalable design: records all_to_all'd into depth buckets, per-device
+partial composites, slab all_to_all + associative front-to-back fold. With
+transmittance_min = 0 the fold is EXACT (alpha compositing is associative
+over depth-disjoint groups); with early termination on, the deviation is
+bounded by transmittance_min per pixel — both asserted here.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussiansplattingregistration_tpu.models.camera import Camera
+from gaussiansplattingregistration_tpu.ops import math3d
+from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig, rasterize
+from gaussiansplattingregistration_tpu.parallel.compositor import (
+    rasterize_arrays_depth_sharded,
+    rasterize_depth_sharded,
+)
+from gaussiansplattingregistration_tpu.parallel.mesh import make_mesh
+from tests.conftest import make_random_cloud
+
+
+# Exact associativity requires no early termination (module docstring) AND a
+# truncation-free K: per-tile top-K truncation is applied per DEPTH BUCKET in
+# the sharded path (each bucket gets its own K budget), so on overflowing
+# scenes the sharded render keeps MORE entries than the single device — the
+# equivalence contract only holds when neither path truncates.
+CFG_EXACT = RasterizeConfig(
+    max_splats_per_tile=256, tile_chunk=4, transmittance_min=0.0
+)
+CFG_DEFAULT = RasterizeConfig(max_splats_per_tile=256, tile_chunk=4)
+
+
+def make_scene(rng, n=200):
+    cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.05, 0.2))
+    xyz = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    cloud = dataclasses.replace(cloud, xyz=jnp.asarray(xyz))
+    return dataclasses.replace(
+        cloud,
+        covariance=math3d.covariance_from_scaling_rotation(
+            cloud.get_scaling, cloud.get_rotation
+        ),
+    )
+
+
+def make_camera(width=64, height=48):
+    f = width / (2 * math.tan(math.radians(60) / 2))
+    return Camera.create(np.eye(3), [0.0, 0.0, 4.0], f, f, width, height)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_depth_sharded_matches_single_exact(rng, n_dev):
+    cloud = make_scene(rng)
+    cam = make_camera()
+    bg = (0.2, 0.1, 0.3)
+
+    rgb_1, alpha_1, depth_1 = rasterize(cloud, cam, background=bg,
+                                        config=CFG_EXACT)
+    mesh = make_mesh(data=1, splat=n_dev, devices=jax.devices()[:n_dev])
+    rgb_n, alpha_n, depth_n, dropped = rasterize_depth_sharded(
+        cloud, cam, mesh, background=bg, config=CFG_EXACT,
+        capacity_slack=8.0,   # tiny scene: make per-bucket overflow impossible
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(rgb_n), np.asarray(rgb_1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha_n), np.asarray(alpha_1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_n), np.asarray(depth_1),
+                               atol=1e-4)
+
+
+def test_depth_sharded_early_termination_bounded(rng):
+    """With default early termination the cross-bucket deviation is bounded
+    by transmittance_min per pixel (the documented inexactness)."""
+    cloud = make_scene(rng, n=300)
+    cam = make_camera()
+    mesh = make_mesh(data=1, splat=4, devices=jax.devices()[:4])
+    rgb_1, *_ = rasterize(cloud, cam, config=CFG_DEFAULT)
+    rgb_n, _, _, dropped = rasterize_depth_sharded(
+        cloud, cam, mesh, config=CFG_DEFAULT, capacity_slack=8.0
+    )
+    assert int(dropped) == 0
+    err = np.abs(np.asarray(rgb_n) - np.asarray(rgb_1)).max()
+    assert err <= 10.0 * CFG_DEFAULT.transmittance_min, err
+
+
+def test_depth_sharded_gradients_match_single(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cloud = make_scene(rng, n=64)
+    cam = make_camera(width=32, height=32)
+    mesh = make_mesh(data=1, splat=4, devices=jax.devices()[:4])
+    shard = NamedSharding(mesh, P("splat"))
+
+    cov = cloud.get_covariance()
+    op = cloud.get_opacity[:, 0]
+    feats = cloud.get_features
+    means_s = jax.device_put(cloud.xyz, shard)
+
+    def loss_sharded(means):
+        rgb, _, _, _ = rasterize_arrays_depth_sharded(
+            means, jax.device_put(cov, shard), jax.device_put(op, shard),
+            jax.device_put(feats, shard), cam.viewmat, cam.intrinsics,
+            32, 32, cloud.sh_degree, jnp.zeros(3), CFG_EXACT, mesh=mesh,
+            capacity_slack=8.0,
+        )
+        return jnp.sum(rgb)
+
+    g_n = np.asarray(jax.grad(loss_sharded)(means_s))
+    assert np.all(np.isfinite(g_n)) and np.abs(g_n).max() > 0
+
+    def loss_single(means):
+        from gaussiansplattingregistration_tpu.ops.rasterize import (
+            rasterize_arrays,
+        )
+
+        rgb, _, _ = rasterize_arrays(
+            means, cov, op, feats, cam.viewmat, cam.intrinsics,
+            32, 32, cloud.sh_degree, jnp.zeros(3), CFG_EXACT,
+        )
+        return jnp.sum(rgb)
+
+    g_1 = np.asarray(jax.grad(loss_single)(cloud.xyz))
+    np.testing.assert_allclose(g_n, g_1, rtol=1e-3, atol=1e-5)
+
+
+def test_capacity_overflow_is_counted(rng):
+    """A capacity too small for the scene must be REPORTED, not silent."""
+    cloud = make_scene(rng, n=400)
+    cam = make_camera()
+    mesh = make_mesh(data=1, splat=2, devices=jax.devices()[:2])
+    # slack tuned so cap = 128 < records per bucket (~200 valid/2 buckets
+    # won't overflow; force with many splats on one device going to one
+    # bucket): squeeze all depths together so one bucket takes everything.
+    tight = dataclasses.replace(
+        cloud, xyz=cloud.xyz * jnp.asarray([1.0, 1.0, 0.001])
+    )
+    tight = dataclasses.replace(
+        tight,
+        covariance=math3d.covariance_from_scaling_rotation(
+            tight.get_scaling, tight.get_rotation
+        ),
+    )
+    *_, dropped = rasterize_depth_sharded(
+        tight, cam, mesh, config=CFG_EXACT, capacity_slack=0.3
+    )
+    assert int(dropped) > 0
