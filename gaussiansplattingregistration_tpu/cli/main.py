@@ -592,6 +592,15 @@ def build_parser():
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-imported jax (the env
+    # var alone is too late then; jax.config still works before backend init).
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     args.fn(args)
 

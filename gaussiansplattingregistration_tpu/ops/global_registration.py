@@ -83,11 +83,7 @@ def _kabsch(p: jax.Array, q: jax.Array) -> jax.Array:
     return math3d.make_se3(R, t)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ransac_n", "batch", "checker_kinds"),
-)
-def _ransac_batch(
+def _eval_hypotheses(
     key,
     src_pts, tgt_pts, src_normals, tgt_normals,
     corr_idx, corr_mask,
@@ -142,6 +138,60 @@ def _ransac_batch(
     return jax.vmap(one)(samples)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ransac_n", "batch", "max_batches", "checker_kinds"),
+)
+def _ransac_search(
+    key,
+    src_pts, tgt_pts, src_normals, tgt_normals,
+    corr_idx, corr_mask,
+    max_correspondence,
+    confidence,
+    ransac_n: int,
+    batch: int,
+    max_batches: int,
+    checker_kinds: tuple,
+    checker_values: jax.Array,
+):
+    """The whole RANSAC iteration as ONE device program: a `lax.while_loop`
+    over vmapped hypothesis batches with the Open3D confidence exit
+    evaluated on-device — the host never syncs per batch (round-2 weak #7:
+    the previous Python loop pulled an argmax to the host every 512
+    hypotheses, serializing dispatch on the tunnel round-trip)."""
+
+    def cond(carry):
+        _, best_f, _, _, total = carry
+        p_success = 1.0 - (
+            1.0 - jnp.clip(best_f, 0.0, 1.0) ** ransac_n
+        ) ** total
+        done = (best_f > 0) & (p_success >= confidence)
+        return (total < max_batches * batch) & ~done
+
+    def body(carry):
+        key, best_f, best_r, best_T, total = carry
+        key, sub = jax.random.split(key)
+        fitness, rmse, Ts = _eval_hypotheses(
+            sub, src_pts, tgt_pts, src_normals, tgt_normals,
+            corr_idx, corr_mask, max_correspondence,
+            ransac_n, batch, checker_kinds, checker_values,
+        )
+        i = jnp.argmax(fitness)
+        f_i, r_i, T_i = fitness[i], rmse[i], Ts[i]
+        better = (f_i > best_f) | ((f_i == best_f) & (r_i < best_r))
+        best_f = jnp.where(better, f_i, best_f)
+        best_r = jnp.where(better, r_i, best_r)
+        best_T = jnp.where(better, T_i, best_T)
+        return (key, best_f, best_r, best_T, total + batch)
+
+    init = (
+        key, jnp.asarray(-1.0), jnp.asarray(jnp.inf), jnp.eye(4),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, best_f, best_r, best_T, total = jax.lax.while_loop(cond, body, init)
+    return best_f, best_r, best_T, total
+
+
 def ransac_registration(
     source: PointCloud,
     target: PointCloud,
@@ -152,9 +202,10 @@ def ransac_registration(
     """FPFH + RANSAC global registration (counterpart of
     `do_ransac_registration`, `global_registration_util.py:48-60`).
 
-    Hypotheses are generated and evaluated in vmapped batches; iteration stops
-    at `max_iteration` total hypotheses or once the Open3D confidence bound
-    1-(1-fitness^n)^iters >= confidence is reached.
+    Hypotheses are generated and evaluated in vmapped batches inside one
+    on-device while_loop; iteration stops at `max_iteration` total hypotheses
+    or once the Open3D confidence bound 1-(1-fitness^n)^iters >= confidence
+    is reached.
     """
     src_down, src_fpfh = preprocess_point_cloud(source, params.voxel_size)
     tgt_down, tgt_fpfh = preprocess_point_cloud(target, params.voxel_size)
@@ -168,39 +219,27 @@ def ransac_registration(
         [c.value for c in params.checkers], jnp.float32
     ) if params.checkers else jnp.zeros((0,), jnp.float32)
 
-    best = (-1.0, np.inf, np.eye(4))
-    total = 0
-    key = jax.random.PRNGKey(seed)
-    while total < params.max_iteration:
-        key, sub = jax.random.split(key)
-        fitness, rmse, Ts = _ransac_batch(
-            sub,
-            src_down.points, tgt_down.points,
-            src_down.normals, tgt_down.normals,
-            corr_idx, corr_mask,
-            jnp.asarray(params.max_correspondence, jnp.float32),
-            int(params.ransac_n),
-            int(batch),
-            checker_kinds,
-            checker_values,
-        )
-        i = int(jnp.argmax(fitness))
-        f_i, r_i = float(fitness[i]), float(rmse[i])
-        if (f_i, -r_i) > (best[0], -best[1]):
-            best = (f_i, r_i, np.asarray(Ts[i], np.float64))
-        total += batch
-        # Open3D RANSACConvergenceCriteria confidence-based exit.
-        if best[0] > 0:
-            p_success = 1.0 - (1.0 - best[0] ** params.ransac_n) ** total
-            if p_success >= params.confidence:
-                break
-
+    best_f, best_r, best_T, total = _ransac_search(
+        jax.random.PRNGKey(seed),
+        src_down.points, tgt_down.points,
+        src_down.normals, tgt_down.normals,
+        corr_idx, corr_mask,
+        jnp.asarray(params.max_correspondence, jnp.float32),
+        jnp.asarray(params.confidence, jnp.float32),
+        int(params.ransac_n),
+        int(batch),
+        max(1, -(-int(params.max_iteration) // int(batch))),
+        checker_kinds,
+        checker_values,
+    )
+    best_f = float(best_f)
+    best_r = float(best_r)
     return RegistrationResult(
-        transformation=best[2],
-        fitness=max(best[0], 0.0),
-        inlier_rmse=best[1] if np.isfinite(best[1]) else 0.0,
-        num_iterations=total,
-        converged=best[0] > 0,
+        transformation=np.asarray(best_T, np.float64),
+        fitness=max(best_f, 0.0),
+        inlier_rmse=best_r if np.isfinite(best_r) else 0.0,
+        num_iterations=int(total),
+        converged=best_f > 0,
     )
 
 

@@ -389,7 +389,12 @@ def gather_entries(
     C: int,
     k_bwd: Optional[int] = None,
 ) -> jax.Array:
-    """Gather per-splat rows [N, F] into the tile table layout [T, K, F].
+    """Gather per-splat rows [N, F] into the CHANNEL-MAJOR tile table layout
+    [T, F, K] — the layout the Pallas composite kernels consume and emit, so
+    the custom-VJP boundary sits exactly at the kernel's cotangent: no
+    [T,K,F] <-> [T,F,K] transpose ever materializes in the backward (profiled
+    30 ms as an XLA transpose custom-call at bench scale; the forward's
+    transpose fuses INTO the gather).
 
     The backward is the hard part on TPU (SURVEY.md §7 hard part #1): CUDA
     accumulates per-splat gradients with atomics; XLA's scatter runs ~100
@@ -415,7 +420,8 @@ def gather_entries(
        contraction — the [N, C, F] reshape-sum never materializes.
     """
     splat = jnp.where(table >= 0, table // C, 0)
-    return packed[splat] * (table >= 0).astype(packed.dtype)[..., None]
+    g = packed[splat] * (table >= 0).astype(packed.dtype)[..., None]
+    return jnp.transpose(g, (0, 2, 1))
 
 
 def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd):
@@ -467,16 +473,18 @@ def _land_rows(R2, pos0, any_live, n, C, F, block=32):
 def _gather_entries_bwd(C, k_bwd, residuals, ct):
     table, sorted_entry, dest, n = residuals
     T, K = table.shape
-    F = ct.shape[-1]
+    F = ct.shape[1]   # ct is channel-major [T, F, K]
     KB = K if k_bwd is None else min(k_bwd, K)
     num_slots = T * K
     M = T * KB
     M_pad = ((M + 127) // 128) * 128
 
     # 2. Sort cotangent rows by entry id (dead slots last via the sentinel).
+    # The [T, F, K] cotangent arrives channel-major straight from the Pallas
+    # bwd kernel; each sort operand is a contiguous per-channel [T, KB] slab.
     eid = table[:, :KB].reshape(-1)
     key = jnp.where(eid >= 0, eid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    cols = tuple(ct[:, :KB, f].reshape(-1) for f in range(F))
+    cols = tuple(ct[:, f, :KB].reshape(-1) for f in range(F))
     sorted_all = jax.lax.sort((key,) + cols, num_keys=1)
     eid_sorted = sorted_all[0]
     R_rows = jnp.stack(sorted_all[1:], axis=-1)              # [M, F]
@@ -623,19 +631,19 @@ def rasterize_tile_slab(
     if config.backend == "pallas":
         from gaussiansplattingregistration_tpu.ops import raster_pallas
 
-        # One wide packed gather; XLA fuses the [T,K,10]->[T,10,K]
-        # transpose INTO the gather (profiled: a separate transpose
-        # custom-call costs ~30 ms at bench scale). No valid channel: the
-        # gather's mask multiply zeroes opacity for empty slots, which kills
-        # alpha in the kernel.
+        # One wide packed gather emitting channel-major [T,10,K] (the fwd
+        # transpose fuses INTO the gather; the custom-VJP boundary is in the
+        # kernel's native layout so the backward has no transpose at all —
+        # a materialized transpose custom-call costs ~30 ms at bench scale).
+        # No valid channel: the gather's mask multiply zeroes opacity for
+        # empty slots, which kills alpha in the kernel.
         packed = jnp.concatenate(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
-        g = gather_entries(
+        gT = gather_entries(
             packed, table, sorted_entry, dest, config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile,
-        )                                                     # [T, K, 10]
-        gT = jnp.transpose(g, (0, 2, 1))                      # [T, 10, K]
+        )                                                     # [T, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
         origin10 = jnp.zeros((num_tiles, 10), means2d.dtype)
         origin10 = origin10.at[:, 0].set(tile_origin[:, 0])
@@ -650,10 +658,10 @@ def rasterize_tile_slab(
         packed = jnp.concatenate(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
-        g = gather_entries(
+        g = jnp.transpose(gather_entries(
             packed, table, sorted_entry, dest, config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile,
-        )                                                     # [T, K, 10]
+        ), (0, 2, 1))                                         # [T, K, 10]
         B = config.tile_chunk
         pad = (-num_tiles) % B
         tile_origin_p = jnp.pad(tile_origin, ((0, pad), (0, 0)))

@@ -1,0 +1,328 @@
+"""Generate COMMITTED golden fixtures from an INDEPENDENT f64 numpy oracle.
+
+Round-2 verdict #8 asks for external-oracle goldens (gsplat renders +
+pixel-grad dumps, Open3D ICP poses). Neither gsplat nor Open3D is
+installable in this image (no egress), so the goldens are produced by this
+fully standalone oracle instead: pure numpy, float64, ZERO imports from
+`gaussiansplattingregistration_tpu` — every formula is re-derived here from
+the published specs the production code also implements:
+
+* rasterizer: EWA splatting + front-to-back alpha compositing exactly as in
+  the 3DGS paper / gsplat semantics the reference wraps
+  (`/root/reference/src/utils/rasterization_util.py:10-31`): Σ2D = J W Σ Wᵀ Jᵀ
+  + 0.3·I, α = min(o·exp(-½ xᵀΣ⁻¹x), 0.999), skip α < 1/255, stop at
+  T < 1e-4, 3σ radius with `radius_clip=3` culling, SH radiance + 0.5.
+  Pixel gradients are CENTRAL FINITE DIFFERENCES of a fixed random-cotangent
+  scalar loss — independent of any autodiff.
+* ICP: Open3D's TransformationEstimationPointToPoint / PointToPlane update
+  (the reference delegates to Open3D,
+  `/root/reference/src/utils/local_registration_util.py:76-100`): NN
+  correspondences under a distance gate, SVD Kabsch / linearized
+  point-to-plane normal equations, fitness = |inliers|/|source|,
+  inlier_rmse = RMSE over inliers.
+
+The outputs are committed (tests/data/golden_raster.npz,
+tests/data/golden_icp.npz); tests/test_goldens.py asserts the production
+JAX pipeline reproduces them (<1e-3 pixels, <1e-3 relative gradients,
+matching poses/fitness/RMSE) — pinning behavior against drift with an
+oracle that shares no code with the implementation.
+
+Run from the repo root: python scripts/make_goldens.py
+"""
+
+import os
+
+import numpy as np
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "data"
+)
+
+# ---------------------------------------------------------------------------
+# Rasterizer oracle (f64, vectorized over pixels, sequential over depth)
+# ---------------------------------------------------------------------------
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+
+EPS2D = 0.3
+ALPHA_CLIP = 1.0 / 255.0
+ALPHA_MAX = 0.999
+T_MIN = 1e-4
+NEAR = 0.01
+RADIUS_CLIP = 3.0
+
+
+def quat_to_rotmat(q):
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def pack_cov(S):
+    return np.array([S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2]])
+
+
+def unpack_cov(c6):
+    a, b, c, d, e, f = c6
+    return np.array([[a, b, c], [b, d, e], [c, e, f]])
+
+
+def eval_sh_deg1(coeffs, dirs):
+    """3DGS real-SH radiance, degree <= 1. coeffs [N,4,3], dirs [N,3] unit."""
+    x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    return (SH_C0 * coeffs[:, 0]
+            - SH_C1 * y * coeffs[:, 1]
+            + SH_C1 * z * coeffs[:, 2]
+            - SH_C1 * x * coeffs[:, 3])
+
+
+def oracle_render(means, cov6, opacity, feats, viewmat, K, width, height, bg):
+    """Exact f64 render: EWA projection + per-pixel front-to-back blend.
+
+    Vectorized over pixels, sequential over the depth-sorted splats (the
+    per-pixel early-termination mask T >= T_MIN is equivalent to the
+    sequential `break` because T is monotone non-increasing).
+    Returns (rgb [H,W,3], acc [H,W]).
+    """
+    Rv, tv = viewmat[:3, :3], viewmat[:3, 3]
+    p_view = means @ Rv.T + tv
+    z = p_view[:, 2]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    zc = np.maximum(z, NEAR)
+    mean2d = np.stack(
+        [fx * p_view[:, 0] / zc + cx, fy * p_view[:, 1] / zc + cy], axis=1
+    )
+    lim_x = 1.3 * (width / 2.0) / fx
+    lim_y = 1.3 * (height / 2.0) / fy
+    tx = zc * np.clip(p_view[:, 0] / zc, -lim_x, lim_x)
+    ty = zc * np.clip(p_view[:, 1] / zc, -lim_y, lim_y)
+
+    n = means.shape[0]
+    conic = np.zeros((n, 3))
+    radius = np.zeros(n)
+    for i in range(n):
+        J = np.array([
+            [fx / zc[i], 0.0, -fx * tx[i] / zc[i] ** 2],
+            [0.0, fy / zc[i], -fy * ty[i] / zc[i] ** 2],
+        ])
+        c2 = J @ Rv @ unpack_cov(cov6[i]) @ Rv.T @ J.T + EPS2D * np.eye(2)
+        det = max(c2[0, 0] * c2[1, 1] - c2[0, 1] ** 2, 1e-12)
+        conic[i] = np.array([c2[1, 1], -c2[0, 1], c2[0, 0]]) / det
+        mid = 0.5 * (c2[0, 0] + c2[1, 1])
+        lam1 = mid + np.sqrt(max(mid * mid - det, 0.1))
+        radius[i] = np.ceil(3.0 * np.sqrt(lam1))
+
+    inside = ((mean2d[:, 0] + radius > 0) & (mean2d[:, 0] - radius < width)
+              & (mean2d[:, 1] + radius > 0) & (mean2d[:, 1] - radius < height))
+    valid = (z > NEAR) & (radius > RADIUS_CLIP) & inside
+
+    cam_center = -(Rv.T @ tv)
+    dirs = means - cam_center
+    dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+    colors = np.maximum(eval_sh_deg1(feats, dirs) + 0.5, 0.0)
+
+    px = np.arange(width) + 0.5
+    py = np.arange(height) + 0.5
+    PX, PY = np.meshgrid(px, py)                      # [H, W]
+
+    img = np.zeros((height, width, 3))
+    acc = np.zeros((height, width))
+    T = np.ones((height, width))
+    for i in np.argsort(z, kind="stable"):
+        if not valid[i]:
+            continue
+        dx = PX - mean2d[i, 0]
+        dy = PY - mean2d[i, 1]
+        sigma = 0.5 * (conic[i, 0] * dx**2 + conic[i, 2] * dy**2) \
+            + conic[i, 1] * dx * dy
+        alpha = np.minimum(opacity[i] * np.exp(-sigma), ALPHA_MAX)
+        live = (sigma >= 0) & (alpha >= ALPHA_CLIP) & (T >= T_MIN)
+        a = np.where(live, alpha, 0.0)
+        img += (a * T)[..., None] * colors[i]
+        acc += a * T
+        T = T * (1.0 - a)
+    img += (1.0 - acc[..., None]) * bg[None, None, :]
+    return img, acc
+
+
+def make_raster_golden():
+    rng = np.random.default_rng(7)
+    n, width, height = 12, 48, 48
+    means = np.concatenate(
+        [rng.uniform(-0.9, 0.9, size=(n, 2)), rng.uniform(-0.5, 0.5, size=(n, 1))],
+        axis=1,
+    )
+    scales = rng.uniform(0.08, 0.25, size=(n, 3))
+    quats = rng.normal(size=(n, 4))
+    cov6 = np.stack([
+        pack_cov(quat_to_rotmat(q) @ np.diag(s**2) @ quat_to_rotmat(q).T)
+        for q, s in zip(quats, scales)
+    ])
+    opacity = 1.0 / (1.0 + np.exp(-rng.normal(0.5, 0.8, size=n)))
+    feats = rng.normal(size=(n, 4, 3)) * np.array([0.8, 0.2, 0.2, 0.2])[:, None]
+
+    import math
+    f = width / (2 * math.tan(math.radians(60) / 2))
+    viewmat = np.eye(4)
+    viewmat[2, 3] = 4.0                                # camera 4 units back
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
+    bg = np.array([0.1, 0.2, 0.3])
+
+    rgb, acc = oracle_render(
+        means, cov6, opacity, feats, viewmat, K, width, height, bg
+    )
+
+    # Central-difference gradients of L = sum(render * ct), f64.
+    ct = rng.normal(size=(height, width, 3))
+
+    def loss(m, c, o, ft):
+        r, _ = oracle_render(m, c, o, ft, viewmat, K, width, height, bg)
+        return float(np.sum(r * ct))
+
+    def fd(arrs, which, eps=1e-5):
+        base = [a.copy() for a in arrs]
+        g = np.zeros_like(base[which])
+        flat = base[which].reshape(-1)
+        gf = g.reshape(-1)
+        for j in range(flat.size):
+            orig = flat[j]
+            h = eps * max(1.0, abs(orig))
+            flat[j] = orig + h
+            lp = loss(*base)
+            flat[j] = orig - h
+            lm = loss(*base)
+            flat[j] = orig
+            gf[j] = (lp - lm) / (2 * h)
+        return g
+
+    arrs = [means, cov6, opacity, feats]
+    g_means = fd(arrs, 0)
+    g_cov = fd(arrs, 1)
+    g_op = fd(arrs, 2)
+    g_feat = fd(arrs, 3)
+
+    np.savez(
+        os.path.join(OUT_DIR, "golden_raster.npz"),
+        means=means, cov6=cov6, opacity=opacity, features=feats,
+        viewmat=viewmat, intrinsics=K, width=width, height=height,
+        sh_degree=1, background=bg,
+        rgb=rgb, acc=acc, ct=ct,
+        grad_means=g_means, grad_cov=g_cov, grad_opacity=g_op,
+        grad_features=g_feat, loss=loss(*arrs),
+    )
+    print(f"golden_raster.npz: rgb mean {rgb.mean():.4f}, "
+          f"|g_means| {np.abs(g_means).max():.4f}")
+
+
+# ---------------------------------------------------------------------------
+# ICP oracle (Open3D estimation semantics, f64)
+# ---------------------------------------------------------------------------
+
+def kabsch(p, q):
+    """Optimal rigid p -> q (unweighted inlier set), SVD with det guard."""
+    pb, qb = p.mean(0), q.mean(0)
+    H = (p - pb).T @ (q - qb)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = qb - R @ pb
+    return T
+
+
+def solve_point_to_plane(p, q, nrm):
+    """Linearized point-to-plane normal equations -> se(3) increment."""
+    r = np.sum((p - q) * nrm, axis=1)
+    J = np.concatenate([np.cross(p, nrm), nrm], axis=1)     # [M, 6]
+    A = J.T @ J + 1e-6 * np.eye(6)
+    dx = -np.linalg.solve(A, J.T @ r)
+    w_, v_ = dx[:3], dx[3:]
+    th = np.linalg.norm(w_)
+    Wx = np.array([[0, -w_[2], w_[1]], [w_[2], 0, -w_[0]], [-w_[1], w_[0], 0]])
+    if th < 1e-12:
+        R = np.eye(3) + Wx
+        V = np.eye(3)
+    else:
+        R = (np.eye(3) + np.sin(th) / th * Wx
+             + (1 - np.cos(th)) / th**2 * (Wx @ Wx))
+        V = (np.eye(3) + (1 - np.cos(th)) / th**2 * Wx
+             + (th - np.sin(th)) / th**3 * (Wx @ Wx))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v_
+    return T
+
+
+def oracle_icp(src, tgt, tgt_normals, max_corr, iters, point_to_plane):
+    T = np.eye(4)
+    for _ in range(iters):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+        idx = np.argmin(d2, axis=1)
+        dmin = d2[np.arange(len(p)), idx]
+        mask = dmin <= max_corr**2
+        if point_to_plane:
+            delta = solve_point_to_plane(
+                p[mask], tgt[idx[mask]], tgt_normals[idx[mask]]
+            )
+        else:
+            delta = kabsch(p[mask], tgt[idx[mask]])
+        T = delta @ T
+    p = src @ T[:3, :3].T + T[:3, 3]
+    d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+    dmin = d2.min(axis=1)
+    mask = dmin <= max_corr**2
+    fitness = mask.sum() / len(src)
+    rmse = float(np.sqrt(dmin[mask].mean())) if mask.any() else 0.0
+    return T, float(fitness), rmse
+
+
+def make_icp_golden():
+    rng = np.random.default_rng(11)
+    n = 400
+    xy = rng.uniform(-1, 1, size=(n, 2))
+    zz = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(1.5 * xy[:, 1])
+    tgt = np.concatenate([xy, zz[:, None]], axis=1)
+    # Analytic surface normals of z = f(x, y): (-df/dx, -df/dy, 1)/|.|
+    dzdx = 0.6 * np.cos(2.0 * xy[:, 0])
+    dzdy = -0.3 * np.sin(1.5 * xy[:, 1])
+    nrm = np.stack([-dzdx, -dzdy, np.ones(n)], axis=1)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    # Known small offset (axis-angle 0.05 rad + a few cm).
+    th = 0.05
+    ax = np.array([0.3, 0.8, 0.52])
+    ax /= np.linalg.norm(ax)
+    Wx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    R_off = np.eye(3) + np.sin(th) * Wx + (1 - np.cos(th)) * (Wx @ Wx)
+    t_off = np.array([0.04, -0.03, 0.02])
+    src = tgt @ R_off.T + t_off
+
+    max_corr, iters = 0.3, 30
+    T_pp, f_pp, r_pp = oracle_icp(src, tgt, nrm, max_corr, iters, False)
+    T_pl, f_pl, r_pl = oracle_icp(src, tgt, nrm, max_corr, iters, True)
+
+    T_true = np.eye(4)
+    T_true[:3, :3] = R_off.T
+    T_true[:3, 3] = -R_off.T @ t_off
+    np.savez(
+        os.path.join(OUT_DIR, "golden_icp.npz"),
+        source=src, target=tgt, target_normals=nrm,
+        max_correspondence=max_corr, max_iteration=iters,
+        T_true=T_true,
+        T_point_to_point=T_pp, fitness_pp=f_pp, rmse_pp=r_pp,
+        T_point_to_plane=T_pl, fitness_pl=f_pl, rmse_pl=r_pl,
+    )
+    print(f"golden_icp.npz: pp fitness {f_pp:.4f} rmse {r_pp:.2e}, "
+          f"pl fitness {f_pl:.4f} rmse {r_pl:.2e}")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_raster_golden()
+    make_icp_golden()

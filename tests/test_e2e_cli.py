@@ -1,0 +1,144 @@
+"""End-to-end CLI test on the COMMITTED demo pair (tests/data/).
+
+Drives the full reference user flow (SURVEY §3.1-3.5) as one path through
+the real CLI: load -> register (ICP) -> multiscale (HEM mixture) ->
+photometric refine -> evaluate -> merge -> render. Asserts the final pose
+error against the known committed offset and the evaluation PSNR. This is
+the committed-demo-data fixture round-2's verdict asked for (#9) and doubles
+as the README quickstart.
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(DATA, "demo_source.ply")
+TGT = os.path.join(DATA, "demo_target.ply")
+
+
+def run_cli(*args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "gaussiansplattingregistration_tpu.cli",
+         *map(str, args)],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=540,
+    )
+    assert out.returncode == 0, f"cli {args[0]} failed:\n{out.stderr[-4000:]}"
+    return out.stdout
+
+
+def pose_error(T_est, T_off):
+    """|se3_log(T_est @ T_off)|: zero when T_est == inv(T_offset)."""
+    from gaussiansplattingregistration_tpu.ops import se3
+
+    residual = jnp.asarray(T_est, jnp.float32) @ jnp.asarray(T_off, jnp.float32)
+    return float(jnp.linalg.norm(se3.se3_log(residual)))
+
+
+@pytest.fixture(scope="module")
+def truth():
+    with open(os.path.join(DATA, "demo_transform.json")) as f:
+        return json.load(f)
+
+
+def _load_transform(path):
+    with open(path) as f:
+        return np.asarray(json.load(f)["transformation"], np.float64)
+
+
+def test_full_cli_flow(tmp_path_factory, truth):
+    tmp = tmp_path_factory.mktemp("e2e")
+    T_off = np.asarray(truth["T_offset"])
+
+    # 1. local ICP registration
+    t1 = tmp / "t1.json"
+    run_cli("register", SRC, TGT, "--method", "point_to_point",
+            "--max-correspondence", "0.3", "--max-iteration", "30",
+            "--output", t1)
+    err1 = pose_error(_load_transform(t1), T_off)
+    assert err1 < 2e-2, err1
+
+    # 2. multiscale HEM-mixture refinement seeded by step 1
+    t2 = tmp / "t2.json"
+    run_cli("multiscale", SRC, TGT, "--use-mixture",
+            "--voxel-values", "0.3,0.1", "--iter-values", "15,10",
+            "--init-transform", t1, "--output", t2)
+    err2 = pose_error(_load_transform(t2), T_off)
+    assert err2 < 2e-2, err2
+
+    # 3. GT images + cameras.json (rendered from the target cloud — the
+    # "ground truth scene" the photometric loss optimizes toward)
+    from gaussiansplattingregistration_tpu.models.camera import Camera, look_at
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        RasterizeConfig, rasterize,
+    )
+    from gaussiansplattingregistration_tpu.utils import io as gio
+    from PIL import Image
+
+    target = gio.load_gaussian_cloud(TGT)
+    w = h = 64
+    f = w / (2 * math.tan(math.radians(60) / 2))
+    cfg = RasterizeConfig(max_splats_per_tile=128, tile_chunk=4)
+    img_dir = tmp / "images"
+    img_dir.mkdir()
+    entries = []
+    # Three well-spread viewpoints: coaxial views leave translation along
+    # the shared axis unobservable and the photometric optimum degenerate.
+    eyes = ((2.2, 1.4, 2.6), (-2.0, 0.8, 2.9), (0.4, -2.1, 2.7))
+    for i, eye in enumerate(eyes):
+        zoom = float(np.linalg.norm(np.asarray(eye)))
+        V = look_at(eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), zoom=zoom)
+        cam = Camera.create(np.eye(3), [0.0, 0.0, 0.0], f, f, w, h,
+                            image_name=f"view{i}").with_viewmat(V)
+        rgb, _, _ = rasterize(target, cam, config=cfg)
+        arr = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"view{i}.png")
+        # 3DGS cameras.json: rotation/position are CAM-TO-WORLD
+        c2w = np.linalg.inv(np.asarray(cam.viewmat))
+        entries.append({
+            "img_name": f"view{i}", "width": w, "height": h,
+            "fx": float(f), "fy": float(f),
+            "rotation": c2w[:3, :3].tolist(),
+            "position": c2w[:3, 3].tolist(),
+        })
+    cams_json = tmp / "cameras.json"
+    cams_json.write_text(json.dumps(entries))
+
+    # 4. photometric refinement of the multiscale pose
+    t3 = tmp / "t3.json"
+    run_cli("photometric", SRC, "--cameras", cams_json,
+            "--images-path", img_dir, "--init-transform", t2,
+            "--steps", "80", "--lr", "1e-3", "--output", t3)
+    err3 = pose_error(_load_transform(t3), T_off)
+    assert err3 < 3e-2, err3
+
+    # 5. evaluate the final pose photometrically (always includes lpips)
+    log = tmp / "eval.json"
+    out = run_cli("evaluate", TGT, SRC, "--transform", t3,
+                  "--cameras", cams_json, "--images-path", img_dir,
+                  "--log", log)
+    metrics = json.loads(out.strip().splitlines()[-1])
+    assert metrics["psnr"] > 28.0, metrics
+    assert metrics["lpips"] is not None
+    assert json.loads(log.read_text())["psnr"] == metrics["psnr"]
+
+    # 6. merge under the final transform and render the merged cloud
+    merged = tmp / "merged.ply"
+    # merge applies the transform to the FIRST cloud (reference semantics),
+    # so the registered source goes first.
+    out = json.loads(run_cli(
+        "merge", SRC, TGT, merged, "--transform", t3
+    ).strip().splitlines()[-1])
+    assert out["num_points"] == 2 * truth["n"]
+    png = tmp / "render.png"
+    run_cli("render", merged, png, "--width", "96", "--height", "96")
+    assert png.exists() and png.stat().st_size > 0

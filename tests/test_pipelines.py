@@ -145,7 +145,8 @@ def test_evaluation_pipeline(tmp_path, rng):
     assert result.ssim > 0.98
     assert not result.error_list
     log = json.loads(open(log_path).read())
-    assert set(log) == {"registration_data", "mse", "rmse", "ssim", "psnr", "lpips", "error_list"}
+    assert set(log) == {"registration_data", "mse", "rmse", "ssim", "psnr",
+                        "lpips", "lpips_weights", "error_list"}
     assert log["registration_data"]["registration_type"] == "unit-test"
 
 

@@ -372,11 +372,14 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
         means2d, radius, depth, valid, tiles_x=4, tiles_y=3, config=cfg
     )
     packed = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
-    ct = jnp.asarray(rng.normal(size=table.shape + (F,)), jnp.float32)
+    ct = jnp.asarray(
+        rng.normal(size=(table.shape[0], F, table.shape[1])), jnp.float32
+    )
 
     def plain(p):
         splat = jnp.where(table >= 0, table // C, 0)
-        return p[splat] * (table >= 0).astype(p.dtype)[..., None]
+        g = p[splat] * (table >= 0).astype(p.dtype)[..., None]
+        return jnp.transpose(g, (0, 2, 1))   # channel-major, like the op
 
     _, vjp_ref = jax.vjp(plain, packed)
     (g_ref,) = vjp_ref(ct)
@@ -389,9 +392,9 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
 
-    # Capped transport == plain VJP with cotangent rows past the cap zeroed.
+    # Capped transport == plain VJP with cotangent ranks past the cap zeroed.
     KB = 3
-    ct_masked = ct * (jnp.arange(table.shape[1]) < KB)[None, :, None]
+    ct_masked = ct * (jnp.arange(table.shape[1]) < KB)[None, None, :]
     (g_ref_cap,) = vjp_ref(ct_masked)
 
     def custom_cap(p):
