@@ -80,13 +80,24 @@ def eval_sh_deg1(coeffs, dirs):
             - SH_C1 * x * coeffs[:, 3])
 
 
-def oracle_render(means, cov6, opacity, feats, viewmat, K, width, height, bg):
+def oracle_render(means, cov6, opacity, feats, viewmat, K, width, height, bg,
+                  frozen=None, capture=None):
     """Exact f64 render: EWA projection + per-pixel front-to-back blend.
 
     Vectorized over pixels, sequential over the depth-sorted splats (the
     per-pixel early-termination mask T >= T_MIN is equivalent to the
     sequential `break` because T is monotone non-increasing).
     Returns (rgb [H,W,3], acc [H,W]).
+
+    `frozen`/`capture`: the render is piecewise-smooth — the culling set,
+    the per-pixel alpha_clip / early-termination live masks, and the
+    alpha_max min() branch are DISCRETE decisions. Finite differences across
+    a decision flip measure the jump, not the derivative (one pixel crossing
+    alpha_clip injects ~alpha/(2h) of noise), while autodiff differentiates
+    the smooth piece selected at the base point. Passing `capture={}` on the
+    base render records every discrete decision; passing that dict back as
+    `frozen` holds them constant, so central differences of the frozen
+    surrogate equal the almost-everywhere derivative autodiff computes.
     """
     Rv, tv = viewmat[:3, :3], viewmat[:3, 3]
     p_view = means @ Rv.T + tv
@@ -119,6 +130,10 @@ def oracle_render(means, cov6, opacity, feats, viewmat, K, width, height, bg):
     inside = ((mean2d[:, 0] + radius > 0) & (mean2d[:, 0] - radius < width)
               & (mean2d[:, 1] + radius > 0) & (mean2d[:, 1] - radius < height))
     valid = (z > NEAR) & (radius > RADIUS_CLIP) & inside
+    if frozen is not None:
+        valid = frozen["valid"]
+    if capture is not None:
+        capture["valid"] = valid.copy()
 
     cam_center = -(Rv.T @ tv)
     dirs = means - cam_center
@@ -132,15 +147,28 @@ def oracle_render(means, cov6, opacity, feats, viewmat, K, width, height, bg):
     img = np.zeros((height, width, 3))
     acc = np.zeros((height, width))
     T = np.ones((height, width))
-    for i in np.argsort(z, kind="stable"):
+    order = np.argsort(z, kind="stable") if frozen is None else frozen["order"]
+    if capture is not None:
+        capture["order"] = order.copy()
+    for i in order:
         if not valid[i]:
             continue
         dx = PX - mean2d[i, 0]
         dy = PY - mean2d[i, 1]
         sigma = 0.5 * (conic[i, 0] * dx**2 + conic[i, 2] * dy**2) \
             + conic[i, 1] * dx * dy
-        alpha = np.minimum(opacity[i] * np.exp(-sigma), ALPHA_MAX)
-        live = (sigma >= 0) & (alpha >= ALPHA_CLIP) & (T >= T_MIN)
+        raw = opacity[i] * np.exp(-sigma)
+        if frozen is not None:
+            amax_branch = frozen[f"amax_{i}"]
+            live = frozen[f"live_{i}"]
+        else:
+            amax_branch = raw > ALPHA_MAX
+            alpha_base = np.where(amax_branch, ALPHA_MAX, raw)
+            live = (sigma >= 0) & (alpha_base >= ALPHA_CLIP) & (T >= T_MIN)
+        if capture is not None:
+            capture[f"amax_{i}"] = amax_branch.copy()
+            capture[f"live_{i}"] = live.copy()
+        alpha = np.where(amax_branch, ALPHA_MAX, raw)
         a = np.where(live, alpha, 0.0)
         img += (a * T)[..., None] * colors[i]
         acc += a * T
@@ -172,15 +200,22 @@ def make_raster_golden():
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
     bg = np.array([0.1, 0.2, 0.3])
 
+    frozen = {}
     rgb, acc = oracle_render(
-        means, cov6, opacity, feats, viewmat, K, width, height, bg
+        means, cov6, opacity, feats, viewmat, K, width, height, bg,
+        capture=frozen,
     )
 
-    # Central-difference gradients of L = sum(render * ct), f64.
+    # Central-difference gradients of L = sum(render * ct), f64, with the
+    # discrete decisions FROZEN at the base point (see oracle_render): the
+    # frozen-surrogate FD equals the a.e. derivative autodiff computes,
+    # without jump noise from culling/clip/min-branch flips inside the
+    # stencil.
     ct = rng.normal(size=(height, width, 3))
 
     def loss(m, c, o, ft):
-        r, _ = oracle_render(m, c, o, ft, viewmat, K, width, height, bg)
+        r, _ = oracle_render(m, c, o, ft, viewmat, K, width, height, bg,
+                             frozen=frozen)
         return float(np.sum(r * ct))
 
     def fd(arrs, which, eps=1e-5):
