@@ -69,7 +69,12 @@ def bench_raster():
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     config = RasterizeConfig(
         max_tiles_per_splat=4,       # tiny splats: 2x2 tile window is exact
-        max_splats_per_tile=512,
+        # K swept on-chip: 384 keeps the truncation oracle at 41.4 dB
+        # (>= the 40 dB visually-exact gate below, which enforces this at
+        # every run) and cuts the slot count — and with it the fwd gather,
+        # the bwd transport sort, and the kernel's chunk count — by 25%
+        # (frame 89 -> 78 ms). 512 was 50.8 dB with the same gate.
+        max_splats_per_tile=384,
         tile_chunk=32,
         backend=backend,
         # No backward cap: this scene is deep (mean early-termination

@@ -92,9 +92,25 @@ def hybrid_search(
     return d2, idx, valid
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",))
 def nearest_neighbor(
     query: jax.Array, data: jax.Array, block_size: int = 1024
 ) -> tuple[jax.Array, jax.Array]:
-    """Single nearest neighbor: (sq_distance [Q], index [Q])."""
-    d2, idx = knn(query, data, k=1, block_size=block_size)
-    return d2[:, 0], idx[:, 0]
+    """Single nearest neighbor: (sq_distance [Q], index [Q]).
+
+    NOT knn(k=1): lax.top_k is a sort-based custom call whose input cannot
+    fuse, so the whole [block, N] distance tile materializes in HBM
+    (~40 GB of traffic at 100k x 100k). min/argmin are plain reduces — XLA
+    fuses the elementwise distance computation straight into them and the
+    tile never exists in memory."""
+    n_query = query.shape[0]
+    pad = (-n_query) % block_size
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    blocks = qp.reshape(-1, block_size, query.shape[1])
+
+    def one_block(qb):
+        d2 = _pairwise_sqdist(qb, data)
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    d2s, idxs = jax.lax.map(one_block, blocks)
+    return d2s.reshape(-1)[:n_query], idxs.reshape(-1)[:n_query]

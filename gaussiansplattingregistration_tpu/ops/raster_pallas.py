@@ -167,7 +167,7 @@ def _vals_rows(pc):
     return jnp.concatenate([pc[6:10, :], jnp.ones_like(pc[0:1, :])], axis=0)
 
 
-def _fwd_kernel(cnt_ref, p_ref, out_ref, carry_ref, *, ts: int,
+def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int,
                 n_chunks: int, block: int, config: RasterizeConfig):
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
@@ -185,11 +185,6 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, carry_ref, *, ts: int,
         live = jnp.zeros((), jnp.float32)      # early-termination horizon
 
         for c in range(n_chunks):
-            # Chunk-entry transmittance carries are a kernel OUTPUT: the
-            # backward kernel consumes them and skips re-running the whole
-            # forward sweep (profiled ~1/3 of the bwd kernel at bench scale).
-            carry_ref[b, :, c:c + 1] = carry_T
-
             def chunk_body(carry, b=b, c=c):
                 acc, carry_T = carry
                 pc = p_ref[b, :, c * S:(c + 1) * S]            # [16, S] static
@@ -227,39 +222,46 @@ def _fwd_kernel(cnt_ref, p_ref, out_ref, carry_ref, *, ts: int,
         out_ref[b, 0:1, 5:6] = jnp.full((1, 1), live, jnp.float32)
 
 
-def _bwd_kernel(cnt_ref, p_ref, ct_ref, carry_ref, d_ref, *, ts: int,
-                n_chunks: int, block: int, config: RasterizeConfig):
-    """Reverse sweep only: the forward kernel already emitted each chunk's
-    entry transmittance carry (`carry_ref`), so no forward recompute here.
-    The suffix statistic accumulates across chunks back-to-front. `block`
-    tiles per grid step amortize the fixed per-step cost (see _fwd_kernel)."""
+def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
+                block: int, config: RasterizeConfig):
+    """Single kernel: unrolled forward sweep keeps per-chunk transmittance
+    carries as SSA values; unrolled reverse sweep consumes them while
+    accumulating the gradient suffix statistic. `block` tiles per grid step
+    amortize the fixed per-step cost (see _fwd_kernel)."""
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
 
     for b in range(block):
-        _bwd_tile(cnt_ref, p_ref, ct_ref, carry_ref, d_ref, b, px, py, P, S,
+        _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S,
                   n_chunks, config)
 
 
-def _moment_basis(px, py, ts):
-    """[6, P] pixel polynomial rows (1, x, y, x2, xy, y2), tile-CENTERED
-    coordinates (x = px - ts/2) to keep the moment-recombination terms small
-    (see _bwd_tile)."""
-    x = (px - ts / 2.0).reshape(1, -1)
-    y = (py - ts / 2.0).reshape(1, -1)
-    one = jnp.ones_like(x)
-    return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=0)
-
-
-def _bwd_tile(cnt_ref, p_ref, ct_ref, carry_ref, d_ref, b, px, py, P, S,
+def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S,
               n_chunks, config):
     cnt = cnt_ref[b, 0]
     tri = _triu(S)
     tri_s = _tril(S)
-    ts = int(round(float(P) ** 0.5))
-    basis = _moment_basis(px, py, ts)                          # [6, P]
+    # ---- forward sweep: per-chunk entry transmittance carries -------------
+    carries = []
+    carry_T = jnp.ones((P, 1), jnp.float32)
+    for c in range(n_chunks):
+        carries.append(carry_T)
+
+        def fwd_heavy(cT, c=c):
+            pc = p_ref[b, :, c * S:(c + 1) * S]
+            alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
+            lt = jnp.log1p(-alpha)
+            cum = _dot_tri_split(lt, tri)
+            return cT * jnp.exp(cum[:, S - 1:S])
+
+        carry_T = jax.lax.cond(
+            (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
+            fwd_heavy,
+            lambda cT: cT,
+            carry_T,
+        )
 
     # ---- reverse sweep: suffix statistic + gradients ----------------------
     g_rgb = ct_ref[b, :, 0:3]                                  # [P, 3]
@@ -268,11 +270,11 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, carry_ref, d_ref, b, px, py, P, S,
 
     suffix = jnp.zeros((P, 1), jnp.float32)
     for c in reversed(range(n_chunks)):
-        carry_T = carry_ref[b, :, c:c + 1]                     # [P, 1]
+        carry_T = carries[c]
         pc = p_ref[b, :, c * S:(c + 1) * S]
 
         def heavy(sfx, pc=pc, carry_T=carry_T):
-            alpha, raw_alpha, exp_term, sigma, _, _ = _chunk_terms(
+            alpha, raw_alpha, exp_term, sigma, dx, dy = _chunk_terms(
                 pc, px, py, config
             )
             lt = jnp.log1p(-alpha)
@@ -302,32 +304,20 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, carry_ref, d_ref, b, px, py, P, S,
             d_op = jnp.sum(dldraw * exp_term, axis=0, keepdims=True)  # [1, S]
             dldsigma = -dldraw * raw_alpha * jnp.where(sigma > 0.0, 1.0, 0.0)
 
-            # Position/conic gradients via PIXEL MOMENTS: with x = px - mx,
-            # every needed reduction Σ_p dldsigma * {x², xy, y², x, y} is a
-            # polynomial in the raw moments M = basis @ dldsigma — ONE small
-            # [6,P]x[P,S] MXU matmul replaces ~15 [P,S] elementwise tensors
-            # + 5 sublane reductions (profiled: the bwd kernel is VPU-bound).
-            # HIGHEST is cheap here (6 passes of a 6-row matmul).
-            M = jax.lax.dot_general(
-                basis, dldsigma,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )                                                  # [6, S]
-            m0, m1x, m1y = M[0:1, :], M[1:2, :], M[2:3, :]
-            m2xx, m2xy, m2yy = M[3:4, :], M[4:5, :], M[5:6, :]
+            # Direct product+reduce for the position/conic gradients.
+            # (A pixel-moment matmul formulation — [6,P]@[P,S] against a
+            # polynomial basis — was tried and reverted: measured +1 ms;
+            # the kernel is not as VPU-bound as the op count suggests.)
             ca = pc[2:3, :]
             cb = pc[3:4, :]
             cc = pc[4:5, :]
-            # Tile-centered mean (matches the basis centering).
-            mxc = pc[0:1, :] - ts / 2.0
-            myc = pc[1:2, :] - ts / 2.0
-            sx = m1x - mxc * m0                                # Σ dldσ·dx
-            sy = m1y - myc * m0                                # Σ dldσ·dy
-            d_ca = 0.5 * (m2xx - 2.0 * mxc * m1x + mxc * mxc * m0)
-            d_cb = m2xy - mxc * m1y - myc * m1x + mxc * myc * m0
-            d_cc = 0.5 * (m2yy - 2.0 * myc * m1y + myc * myc * m0)
-            d_mx = -(ca * sx + cb * sy)
-            d_my = -(cc * sy + cb * sx)
+            d_ca = 0.5 * jnp.sum(dldsigma * dx * dx, axis=0, keepdims=True)
+            d_cb = jnp.sum(dldsigma * dx * dy, axis=0, keepdims=True)
+            d_cc = 0.5 * jnp.sum(dldsigma * dy * dy, axis=0, keepdims=True)
+            ddx = dldsigma * (ca * dx + cb * dy)
+            ddy = dldsigma * (cc * dy + cb * dx)
+            d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
+            d_my = -jnp.sum(ddy, axis=0, keepdims=True)
 
             # d_color rows [3, S] = g_rgb.T @ w — contract P on the MXU.
             d_color = jax.lax.dot_general(
@@ -387,8 +377,7 @@ def composite_tiles_pallas(
     transpose(gather(...)) which XLA fuses into the gather — do NOT insert a
     materialized pack/transpose here (it costs ~30 ms at bench scale).
     """
-    primal, _ = _fwd_impl(gT, counts, ts, config)
-    return primal
+    return _fwd_impl(gT, counts, ts, config)
 
 
 def _fwd_impl(gT, counts, ts, config):
@@ -406,7 +395,7 @@ def _fwd_impl(gT, counts, ts, config):
     kernel = functools.partial(
         _fwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config
     )
-    out, carries = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(T_pad // B,),
         in_specs=[
@@ -415,33 +404,28 @@ def _fwd_impl(gT, counts, ts, config):
             pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, P, n_chunks), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
-            # Per-chunk ENTRY transmittance carries — the backward kernel's
-            # residual (skips the whole forward-sweep recompute there).
-            jax.ShapeDtypeStruct((T_pad, P, n_chunks), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
     )(cnt_i, params)
-    primal = (out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3],
-              out[:T0, 0, 5])
-    return primal, carries
+    return (out[:T0, :, 0:3], out[:T0, :, 4], out[:T0, :, 3],
+            out[:T0, 0, 5])
 
 
 def _fwd_rule(gT, counts, ts, config):
-    out, carries = _fwd_impl(gT, counts, ts, config)
-    return out, (gT, counts, carries)
+    # Residuals are only (gT, counts): under pure jax.grad nothing consumes
+    # the primal render, so XLA dead-code-eliminates the forward kernel
+    # entirely. (Shipping per-chunk transmittance carries as a residual was
+    # tried and reverted: it forces the fwd kernel to RUN under grad —
+    # +9 ms, more than the bwd forward-sweep recompute it saves.)
+    out = _fwd_impl(gT, counts, ts, config)
+    return out, (gT, counts)
 
 
 def _bwd_rule(ts, config, residuals, cotangents):
-    gT, counts, carries = residuals
+    gT, counts = residuals
     g_rgb, g_alpha, g_depth, _ = cotangents
     T0, _, K = gT.shape
     P = ts * ts
@@ -477,15 +461,13 @@ def _bwd_rule(ts, config, residuals, cotangents):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, P, n_chunks), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, _NCH, K_pad), jnp.float32),
         interpret=_interpret(),
         compiler_params=_params(),
-    )(cnt_i, params, ct, carries)
+    )(cnt_i, params, ct)
 
     # Channel-major [T, 10, K] is already the cotangent layout of gT; the
     # caller-side transpose(g) autodiff then presents the gather VJP with a

@@ -435,40 +435,45 @@ def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd):
     return out, (table, sorted_entry, dest, packed.shape[0])
 
 
-def _land_rows(R2, pos0, any_live, n, C, F, block=32):
-    """d_packed[n] = any_live[n] ? folded_rows[pos0[n]] : 0, via windowed
-    one-hot MXU dots.
+def _land_rows(R2, pos0, cnt, n, C, F, block=32):
+    """d_packed[n] = sum of rows [pos0[n], pos0[n] + cnt[n]) — each splat's
+    live cotangent rows are CONSECUTIVE in the sorted stream — via windowed
+    multi-hot MXU dots (the run selector folds the <= C rows of one splat in
+    the same contraction; no separate shift-add fold pass).
 
-    `pos0` is non-decreasing with increments <= C, so the `block` sources of
-    one output block lie in a window of C*block + 128 rows — gather two
-    128-row panels per block and select with an exact 0/1 operand (HIGHEST
-    keeps the selected f32 values f32-grade: each output is ONE row).
-    A plain XLA row gather costs ~12 ns/row (~12 ms for 1M rows) with no
-    locality to exploit; this runs at the memory cost of the [nb, block, W]
-    selector (~1 GB at bench scale, ~2.5 ms)."""
+    `pos0` is non-decreasing with increments <= C, so the `block` output
+    rows' source runs lie in a window of C*(block+1) + 128 rows — gather
+    whole 128-row panels per block and select with an exact 0/1 operand
+    (HIGHEST keeps the selected f32 values f32-grade; each output sums
+    <= C rows, like the f32 fold it replaces). A plain XLA row gather costs
+    ~12 ns/row (~12 ms for 1M rows) with no locality to exploit; this runs
+    at the memory cost of the [nb, block, W] selector."""
     n_panel_rows = R2.shape[0]
-    # The block's sources span < C*block + 128 rows; round the window up to
-    # whole 128-row panels. Extra panel rows are clamped in-range and never
-    # selected (the one-hot matches only loc in [p*128, p*128 + 128)).
+    # The block's source runs end before pos0[block_start] + block*C, and
+    # pos0[block_start] - base < 128, so W = C*block + 128 rows (rounded up
+    # to whole 128-row panels) covers every run. Extra panel rows are
+    # clamped in-range and never selected (the run mask matches only
+    # positions in the panel's range).
     W = -(-(C * block + 128) // 128) * 128
     nb = -(-n // block)
     pos0 = jnp.pad(pos0, (0, nb * block - n))
-    any_live = jnp.pad(any_live, (0, nb * block - n))
+    cnt = jnp.pad(cnt, (0, nb * block - n))
     posb = pos0.reshape(nb, block)
-    livb = any_live.reshape(nb, block)
+    cntb = cnt.reshape(nb, block)
     base = (posb[:, 0] // 128) * 128                          # [nb] aligned
     loc = posb - base[:, None]                                # [nb, block]
+    end = loc + cntb                                          # exclusive
     iota = jnp.arange(128, dtype=jnp.int32)
     out = jnp.zeros((nb, block, F), jnp.float32)
     for p in range(W // 128):
         rows_p = jnp.minimum(base // 128 + p, n_panel_rows - 1)
         win_p = R2[rows_p].reshape(nb, 128, F)
-        onehot = (
-            (iota[None, None, :] == (loc[:, :, None] - p * 128))
-            & livb[:, :, None]
+        pi = iota[None, None, :] + p * 128
+        runmask = (
+            (pi >= loc[:, :, None]) & (pi < end[:, :, None])
         ).astype(jnp.float32)
         out = out + jax.lax.dot_general(
-            onehot, win_p,
+            runmask, win_p,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -495,21 +500,9 @@ def _gather_entries_bwd(C, k_bwd, residuals, ct):
     # are all-zero, so order among equals is irrelevant — a stable sort makes
     # XLA carry a hidden iota tiebreaker column (~2 ms at bench scale).
     sorted_all = jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
-    eid_sorted = sorted_all[0]
     R_rows = jnp.stack(sorted_all[1:], axis=-1)              # [M, F]
-
-    # 3. Fold each splat's <= C rows (consecutive: entry ids of splat n are
-    # [n*C, n*C + C)) onto its FIRST row with shifted masked adds.
-    splat_sorted = eid_sorted // jnp.uint32(C)               # dead -> huge
-    folded = R_rows
-    for d in range(1, C):
-        same = jnp.pad(
-            splat_sorted[d:] == splat_sorted[:-d], (0, d)
-        ).astype(jnp.float32)[:, None]
-        shifted = jnp.pad(R_rows[d:], ((0, d), (0, 0)))
-        folded = folded + shifted * same
     if M_pad != M:
-        folded = jnp.pad(folded, ((0, M_pad - M), (0, 0)))
+        R_rows = jnp.pad(R_rows, ((0, M_pad - M), (0, 0)))
 
     # 4. Per-entry liveness in dense entry order -> per-splat live count
     # (strided windows, NOT strided slices: pos[::C] lowers to a ~18
@@ -532,11 +525,13 @@ def _gather_entries_bwd(C, k_bwd, residuals, ct):
         window_dimensions=(C,), window_strides=(C,), padding="VALID",
     )                                                        # [N]
     pos0 = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)         # exclusive
-    any_live = cnt > 0
 
-    # 5. Windowed one-hot landing: one row per splat.
+    # 5. Windowed RUN-selector landing: each splat's <= C live rows are
+    # consecutive in the sorted stream starting at pos0; the multi-hot
+    # selector folds them inside the same MXU contraction (no separate
+    # shift-add fold pass).
     return (
-        _land_rows(folded.reshape(M_pad // 128, 128 * F), pos0, any_live,
+        _land_rows(R_rows.reshape(M_pad // 128, 128 * F), pos0, cnt,
                    n, C, F),
         None, None, None,
     )
