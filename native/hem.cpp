@@ -28,6 +28,25 @@
 #include <omp.h>
 #endif
 
+// libgomp's barriers/team docking are futex-based and invisible to TSan, so
+// a TSan build reports false races between a worker's writes inside a
+// `parallel for` and the main thread's reads after the implicit barrier.
+// These annotations restate exactly the OpenMP happens-before edges (region
+// entry: main -> every worker; region exit: every worker -> main) and
+// nothing more — races BETWEEN iterations remain fully detectable.
+// (scripts/native_sanitize.sh runs this file under -fsanitize=thread.)
+#if defined(__SANITIZE_THREAD__)
+#include <sanitizer/tsan_interface.h>
+namespace {
+char gsr_tsan_fence;
+}
+#define GSR_TSAN_RELEASE() __tsan_release(&gsr_tsan_fence)
+#define GSR_TSAN_ACQUIRE() __tsan_acquire(&gsr_tsan_fence)
+#else
+#define GSR_TSAN_RELEASE() ((void)0)
+#define GSR_TSAN_ACQUIRE() ((void)0)
+#endif
+
 namespace {
 
 struct V3 {
@@ -182,7 +201,11 @@ int gsr_hem_cluster_level(
   // Child candidate selection per parent (parallel, disjoint writes).
   std::vector<std::vector<int>> children(n_par);
   std::vector<std::vector<float>> wl(n_par);
-#pragma omp parallel for schedule(dynamic, 16)
+  GSR_TSAN_RELEASE();
+#pragma omp parallel
+  {
+    GSR_TSAN_ACQUIRE();
+#pragma omp for schedule(dynamic, 16) nowait
   for (int s_ = 0; s_ < n_par; ++s_) {
     int s = parents[s_];
     V3 pm = {mean[3 * s], mean[3 * s + 1], mean[3 * s + 2]};
@@ -216,6 +239,9 @@ int gsr_hem_cluster_level(
       wl[s_].push_back(weight[s] * L);
     });
   }
+    GSR_TSAN_RELEASE();
+  }
+  GSR_TSAN_ACQUIRE();
 
   // Responsibility denominators.
   std::vector<float> sum_lw(n, 0.0f);
@@ -225,7 +251,11 @@ int gsr_hem_cluster_level(
 
   // Accumulate merged components into parent slots (parallel, disjoint).
   std::vector<uint8_t> merged_ok(n_par, 0);
-#pragma omp parallel for schedule(dynamic, 16)
+  GSR_TSAN_RELEASE();
+#pragma omp parallel
+  {
+    GSR_TSAN_ACQUIRE();
+#pragma omp for schedule(dynamic, 16) nowait
   for (int s_ = 0; s_ < n_par; ++s_) {
     int s = parents[s_];
     V3 pm = {mean[3 * s], mean[3 * s + 1], mean[3 * s + 2]};
@@ -298,6 +328,9 @@ int gsr_hem_cluster_level(
     for (int c = 0; c < 3; ++c)
       out_nvar[3 * s_ + c] = float(res[c] / R) * (var1 + var2);
   }
+    GSR_TSAN_RELEASE();
+  }
+  GSR_TSAN_ACQUIRE();
 
   // Compact: merged parents first, then orphans (sum_lw == 0).
   int out = 0;
@@ -309,8 +342,10 @@ int gsr_hem_cluster_level(
       std::memmove(out_cov6 + 6 * size_t(out), out_cov6 + 6 * size_t(s_), 24);
       out_opacity[out] = out_opacity[s_];
       out_weight[out] = out_weight[s_];
-      std::memmove(out_features + size_t(out) * feature_dim,
-                   out_features + size_t(s_) * feature_dim, 4 * size_t(feature_dim));
+      if (feature_dim > 0)  // null out_features ptr at feature_dim=0 is UB
+        std::memmove(out_features + size_t(out) * feature_dim,
+                     out_features + size_t(s_) * feature_dim,
+                     4 * size_t(feature_dim));
       std::memmove(out_nvar + 3 * size_t(out), out_nvar + 3 * size_t(s_), 12);
     }
     ++out;
@@ -322,8 +357,9 @@ int gsr_hem_cluster_level(
     std::memcpy(out_cov6 + 6 * size_t(out), cov6 + 6 * size_t(i), 24);
     out_opacity[out] = opacity[i];
     out_weight[out] = weight[i];
-    std::memcpy(out_features + size_t(out) * feature_dim,
-                features + size_t(i) * feature_dim, 4 * size_t(feature_dim));
+    if (feature_dim > 0)  // memcpy from a null features ptr is UB even at n=0
+      std::memcpy(out_features + size_t(out) * feature_dim,
+                  features + size_t(i) * feature_dim, 4 * size_t(feature_dim));
     std::memcpy(out_nvar + 3 * size_t(out), nvar + 3 * size_t(i), 12);
     ++out;
   }
