@@ -167,131 +167,212 @@ def _vals_rows(pc):
     return jnp.concatenate([pc[6:10, :], jnp.ones_like(pc[0:1, :])], axis=0)
 
 
-def _fwd_kernel(cnt_ref, p_ref, out_ref, *, ts: int,
+def _fwd_kernel(cnt_ref, p_ref, out_ref, carry_ref, *, ts: int,
                 n_chunks: int, block: int, config: RasterizeConfig):
+    """Block-vectorized forward compositing: the whole `block` of tiles runs
+    as one [B, P, S] computation with ONE `pl.when` per chunk, gated on the
+    block's max occupancy. Per-tile `lax.cond` early termination was
+    measured to COST more than it saved (~11 ms/frame of vector->scalar
+    max-reduce pipeline stalls at bench scale, while the saturation gate
+    never fired on realistic sparse tiles); entries past a tile's own
+    occupancy/saturation horizon contribute exactly zero through the w
+    mask. The per-tile live horizon (consumed by the backward cap and the
+    truncation stats) is tracked with VECTOR reduces — [B,P,1] -> [B,1,1]
+    stays on the VPU."""
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
+    B = block
     tri = _triu(S)
+    tmin = config.transmittance_min
 
-    # `block` tiles per grid step: TPU grid steps run sequentially at ~6us
-    # fixed cost each, so batching tiles amortizes the step overhead while
-    # keeping per-tile early termination (the b-loop is python-unrolled).
-    for b in range(block):
-        cnt = cnt_ref[b, 0]            # valid entries are a rank-contiguous
-        acc = jnp.zeros((P, 5), jnp.float32)   # prefix of the tile row
-        carry_T = jnp.ones((P, 1), jnp.float32)
-        live = jnp.zeros((), jnp.float32)      # early-termination horizon
+    cnt_max = cnt_ref[0, 0]
+    for b in range(1, B):
+        cnt_max = jnp.maximum(cnt_max, cnt_ref[b, 0])
+    # Per-tile occupancy as a [B, 1, 1] vector for the live accounting.
+    cntv = jnp.concatenate(
+        [jnp.full((1, 1, 1), cnt_ref[b, 0], jnp.float32) for b in range(B)],
+        axis=0,
+    )
 
-        for c in range(n_chunks):
-            def chunk_body(carry, b=b, c=c):
-                acc, carry_T = carry
-                pc = p_ref[b, :, c * S:(c + 1) * S]            # [16, S] static
-                alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
-                lt = jnp.log1p(-alpha)                          # <= 0
-                cum = _cumsum_lanes(lt, tri)                    # inclusive
-                T = carry_T * jnp.exp(cum - lt)                 # exclusive
-                w = jnp.where(T > config.transmittance_min, alpha * T, 0.0)
-                acc = acc + jax.lax.dot_general(
-                    w, _vals_rows(pc),
+    out_ref[:, :, 0:5] = jnp.zeros((B, P, 5), jnp.float32)
+    out_ref[:, :, 5:8] = jnp.zeros((B, P, 3), jnp.float32)
+    carry_ref[...] = jnp.ones((B, P, 1), jnp.float32)
+    live = jnp.zeros((B, 1, 1), jnp.float32)
+
+    for c in range(n_chunks):
+        carry_T = carry_ref[...]
+        # Chunk-granular per-tile horizon: entries processed before every
+        # pixel of the tile saturated AND within the occupied prefix.
+        sat = jnp.max(carry_T, axis=1, keepdims=True)          # [B, 1, 1]
+        alive = (sat > tmin) & (cntv > float(c * S))
+        live = live + jnp.where(alive, float(S), 0.0)
+
+        @pl.when(cnt_max > c * S)
+        def _chunk(c=c, carry_T=carry_T):
+            pc = p_ref[:, :, c * S:(c + 1) * S]                # [B, NCH, S]
+            alpha, _, _, _, _, _ = _chunk_terms_blk(pc, px, py, config)
+            lt = jnp.log1p(-alpha)                              # <= 0
+            # Inclusive lane cumsum at HIGHEST (matches the pre-vectorized
+            # kernel's numerics; MXU flops are negligible here).
+            cum = _cumsum_lanes(lt.reshape(B * P, S), tri).reshape(B, P, S)
+            T = carry_T * jnp.exp(cum - lt)                     # exclusive
+            w = jnp.where(T > tmin, alpha * T, 0.0)
+            acc = out_ref[:, :, 0:5]
+            out_ref[:, :, 0:5] = acc + jnp.stack([
+                jax.lax.dot_general(
+                    w[b], _vals_rows(pc[b]),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
-                carry_T = carry_T * jnp.exp(cum[:, S - 1:S])
-                return acc, carry_T
+                for b in range(B)
+            ])
+            carry_ref[...] = carry_T * jnp.exp(cum[:, :, S - 1:S])
 
-            # Skip the chunk once every pixel saturates (3DGS early
-            # termination) or past the tile's occupied prefix (invalid
-            # entries have alpha 0, so they can never saturate the scan).
-            pred = (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S)
-            acc, carry_T = jax.lax.cond(
-                pred,
-                chunk_body,
-                lambda carry: carry,
-                (acc, carry_T),
-            )
-            live = live + jnp.where(pred, float(S), 0.0)
-
-        out_ref[b, :, 0:5] = acc
-        out_ref[b, :, 5:8] = jnp.zeros((P, 3), jnp.float32)
-        # Per-tile live horizon (entries processed before every pixel
-        # saturated), chunk-granular — consumers cap the backward transport
-        # at this rank and count cap violations (RasterizeConfig
-        # .max_bwd_splats_per_tile).
-        out_ref[b, 0:1, 5:6] = jnp.full((1, 1), live, jnp.float32)
+    # Per-tile live horizon (see RasterizeConfig.max_bwd_splats_per_tile).
+    out_ref[:, 0:1, 5:6] = live
 
 
-def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, *, ts: int, n_chunks: int,
-                block: int, config: RasterizeConfig):
-    """Single kernel: unrolled forward sweep keeps per-chunk transmittance
-    carries as SSA values; unrolled reverse sweep consumes them while
-    accumulating the gradient suffix statistic. `block` tiles per grid step
-    amortize the fixed per-step cost (see _fwd_kernel)."""
+def _chunk_terms_blk(pc, px, py, config):
+    """Block-vectorized `_chunk_terms`: pc [B, NCH, S] -> [B, P, S] terms.
+
+    All elementwise math runs on 3-D arrays whose trailing (sublane, lane)
+    dims are the well-tiled (P, S); the leading B just unrolls."""
+    mx = pc[:, 0:1, :]                                         # [B, 1, S]
+    my = pc[:, 1:2, :]
+    ca = pc[:, 2:3, :]
+    cb = pc[:, 3:4, :]
+    cc = pc[:, 4:5, :]
+    op = pc[:, 5:6, :]
+
+    dx = px[None, :, :] - mx                                   # [B, P, S]
+    dy = py[None, :, :] - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    exp_term = jnp.exp(-jnp.maximum(sigma, 0.0))
+    raw_alpha = op * exp_term
+    alpha = jnp.minimum(raw_alpha, config.alpha_max)
+    visible = (alpha >= config.alpha_clip) & (sigma >= 0.0)
+    alpha = jnp.where(visible, alpha, 0.0)
+    return alpha, raw_alpha, exp_term, sigma, dx, dy
+
+
+def _dot_tri_blk(x, tri):
+    """[B, P, S] @ [S, S] triangle via ONE flattened split-bf16 MXU matmul
+    (the triangle acts row-wise, so collapsing (B, P) into rows is exact)."""
+    B, P, S = x.shape
+    return _dot_tri_split(x.reshape(B * P, S), tri).reshape(B, P, S)
+
+
+def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
+                alpha_ref, expt_ref, sigma_ref, texc_ref, *,
+                ts: int, n_chunks: int, block: int,
+                config: RasterizeConfig):
+    """Single kernel: unrolled forward sweep stores per-chunk transmittance
+    carries in a VMEM scratch; unrolled reverse sweep consumes them while
+    accumulating the gradient suffix statistic.
+
+    The whole `block` of tiles is processed as one [B, P, S] vectorized
+    computation, and chunk skipping (past every tile's occupancy/saturation
+    horizon) is expressed as `pl.when` regions updating SCRATCH REFS at
+    BLOCK granularity. The previous per-tile `lax.cond` formulation cost
+    ~12.7 ms at bench scale even when every chunk skipped: 48 conds per
+    grid step, each copying its [P, 1]/[10, S] carries through the branch
+    phi. `pl.when` has no carries — skipped chunks cost one SMEM compare.
+    Gradients are unchanged: a tile whose own horizon ends earlier than the
+    block's contributes exactly zero through the live mask (w = dlda = 0),
+    the same zeros its skip branch used to write."""
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
     S = _CHUNK
-
-    for b in range(block):
-        _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S,
-                  n_chunks, config)
-
-
-def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S,
-              n_chunks, config):
-    cnt = cnt_ref[b, 0]
+    B = block
     tri = _triu(S)
     tri_s = _tril(S)
+    tmin = config.transmittance_min
+
+    cnt_max = cnt_ref[0, 0]
+    for b in range(1, B):
+        cnt_max = jnp.maximum(cnt_max, cnt_ref[b, 0])
+
     # ---- forward sweep: per-chunk entry transmittance carries -------------
-    carries = []
-    carry_T = jnp.ones((P, 1), jnp.float32)
+    # carry_ref: [n_chunks + 1, B, P, 1] scratch; slot c holds the ENTRY
+    # transmittance at chunk c's first entry. Slot layout wastes lanes but
+    # each slot is only touched twice per grid step.
+    carry_ref[0] = jnp.ones((B, P, 1), jnp.float32)
     for c in range(n_chunks):
-        carries.append(carry_T)
+        # Occupancy-only gate: a vector->scalar max reduce per chunk was
+        # measured to stall the kernel ~11 ms/frame at bench scale (the
+        # VPU->scalar sync serializes the pipeline), while the saturation
+        # gate itself never fired on realistic scenes (identical timing
+        # at opacity 0.7 vs 0.001) - sparse tiles keep some pixel
+        # unsaturated. Rank-capping lives in max_bwd_splats_per_tile.
+        pred = cnt_max > c * S
 
-        def fwd_heavy(cT, c=c):
-            pc = p_ref[b, :, c * S:(c + 1) * S]
-            alpha, _, _, _, _, _ = _chunk_terms(pc, px, py, config)
-            lt = jnp.log1p(-alpha)
-            cum = _dot_tri_split(lt, tri)
-            return cT * jnp.exp(cum[:, S - 1:S])
-
-        carry_T = jax.lax.cond(
-            (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
-            fwd_heavy,
-            lambda cT: cT,
-            carry_T,
-        )
-
-    # ---- reverse sweep: suffix statistic + gradients ----------------------
-    g_rgb = ct_ref[b, :, 0:3]                                  # [P, 3]
-    g_depth = ct_ref[b, :, 3:4]                                # [P, 1]
-    G5 = ct_ref[b, :, 0:5]                                     # [P, 5]
-
-    suffix = jnp.zeros((P, 1), jnp.float32)
-    for c in reversed(range(n_chunks)):
-        carry_T = carries[c]
-        pc = p_ref[b, :, c * S:(c + 1) * S]
-
-        def heavy(sfx, pc=pc, carry_T=carry_T):
-            alpha, raw_alpha, exp_term, sigma, dx, dy = _chunk_terms(
+        @pl.when(pred)
+        def _fwd_heavy(c=c):
+            pc = p_ref[:, :, c * S:(c + 1) * S]                # [B, NCH, S]
+            alpha, _, exp_term, sigma, _, _ = _chunk_terms_blk(
                 pc, px, py, config
             )
             lt = jnp.log1p(-alpha)
-            cum = _dot_tri_split(lt, tri)
-            T = carry_T * jnp.exp(cum - lt)                    # exclusive
-            live = T > config.transmittance_min
+            cum = _dot_tri_blk(lt, tri)
+            # Cache the chunk terms the reverse sweep would otherwise
+            # recompute (~35 VPU passes/element incl. two transcendentals):
+            # alpha, exp_term, sigma, and the within-chunk entry-EXCLUSIVE
+            # transmittance factor exp(cum - lt).
+            alpha_ref[c] = alpha
+            expt_ref[c] = exp_term
+            sigma_ref[c] = sigma
+            texc_ref[c] = jnp.exp(cum - lt)
+            carry_ref[c + 1] = carry_ref[c] * jnp.exp(cum[:, :, S - 1:S])
+
+        @pl.when(jnp.logical_not(pred))
+        def _fwd_skip(c=c):
+            carry_ref[c + 1] = carry_ref[c]
+
+    # ---- reverse sweep: suffix statistic + gradients ----------------------
+    g_rgb = ct_ref[:, :, 0:3]                                  # [B, P, 3]
+    g_depth = ct_ref[:, :, 3:4]                                # [B, P, 1]
+    G5 = ct_ref[:, :, 0:5]                                     # [B, P, 5]
+
+    sfx_ref[...] = jnp.zeros((B, P, 1), jnp.float32)
+    for c in reversed(range(n_chunks)):
+        # Occupancy-only gate: a vector->scalar max reduce per chunk was
+        # measured to stall the kernel ~11 ms/frame at bench scale (the
+        # VPU->scalar sync serializes the pipeline), while the saturation
+        # gate itself never fired on realistic scenes (identical timing
+        # at opacity 0.7 vs 0.001) - sparse tiles keep some pixel
+        # unsaturated. Rank-capping lives in max_bwd_splats_per_tile.
+        pred = cnt_max > c * S
+
+        @pl.when(pred)
+        def _heavy(c=c):
+            sfx = sfx_ref[...]
+            pc = p_ref[:, :, c * S:(c + 1) * S]                # [B, NCH, S]
+            alpha = alpha_ref[c]
+            exp_term = expt_ref[c]
+            sigma = sigma_ref[c]
+            raw_alpha = pc[:, 5:6, :] * exp_term
+            dx = px[None, :, :] - pc[:, 0:1, :]
+            dy = py[None, :, :] - pc[:, 1:2, :]
+            T = carry_ref[c] * texc_ref[c]                     # exclusive
+            live = T > tmin
             w = jnp.where(live, alpha * T, 0.0)
 
-            # dL/dw [P, S] = G5 [P, 5] @ vals [5, S] — MXU.
-            dldw = jax.lax.dot_general(
-                G5, _vals_rows(pc),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )
+            # dL/dw [b][P, S] = G5 [P, 5] @ vals [5, S] — per-tile MXU dots
+            # (unrolled; Mosaic has no batched dot).
+            dldw = jnp.stack([
+                jax.lax.dot_general(
+                    G5[b], _vals_rows(pc[b]),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )
+                for b in range(B)
+            ])                                                 # [B, P, S]
             dw_w = dldw * w
             # Inclusive suffix sum along lanes — split-bf16 MXU matmul.
-            sfx_incl = _dot_tri_split(dw_w, tri_s)
+            sfx_incl = _dot_tri_blk(dw_w, tri_s)
             S_excl = sfx_incl - dw_w + sfx
             dlda = jnp.where(
                 live & (alpha > 0.0),
@@ -301,49 +382,50 @@ def _bwd_tile(cnt_ref, p_ref, ct_ref, d_ref, b, px, py, P, S,
 
             unclamped = jnp.where(raw_alpha < config.alpha_max, 1.0, 0.0)
             dldraw = dlda * unclamped
-            d_op = jnp.sum(dldraw * exp_term, axis=0, keepdims=True)  # [1, S]
+            d_op = jnp.sum(dldraw * exp_term, axis=1, keepdims=True)
             dldsigma = -dldraw * raw_alpha * jnp.where(sigma > 0.0, 1.0, 0.0)
 
             # Direct product+reduce for the position/conic gradients.
             # (A pixel-moment matmul formulation — [6,P]@[P,S] against a
             # polynomial basis — was tried and reverted: measured +1 ms;
             # the kernel is not as VPU-bound as the op count suggests.)
-            ca = pc[2:3, :]
-            cb = pc[3:4, :]
-            cc = pc[4:5, :]
-            d_ca = 0.5 * jnp.sum(dldsigma * dx * dx, axis=0, keepdims=True)
-            d_cb = jnp.sum(dldsigma * dx * dy, axis=0, keepdims=True)
-            d_cc = 0.5 * jnp.sum(dldsigma * dy * dy, axis=0, keepdims=True)
+            ca = pc[:, 2:3, :]
+            cb = pc[:, 3:4, :]
+            cc = pc[:, 4:5, :]
+            d_ca = 0.5 * jnp.sum(dldsigma * dx * dx, axis=1, keepdims=True)
+            d_cb = jnp.sum(dldsigma * dx * dy, axis=1, keepdims=True)
+            d_cc = 0.5 * jnp.sum(dldsigma * dy * dy, axis=1, keepdims=True)
             ddx = dldsigma * (ca * dx + cb * dy)
             ddy = dldsigma * (cc * dy + cb * dx)
-            d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
-            d_my = -jnp.sum(ddy, axis=0, keepdims=True)
+            d_mx = -jnp.sum(ddx, axis=1, keepdims=True)
+            d_my = -jnp.sum(ddy, axis=1, keepdims=True)
 
             # d_color rows [3, S] = g_rgb.T @ w — contract P on the MXU.
-            d_color = jax.lax.dot_general(
-                g_rgb, w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )
-            d_depth = jnp.sum(w * g_depth, axis=0, keepdims=True)
+            d_color = jnp.stack([
+                jax.lax.dot_general(
+                    g_rgb[b], w[b],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )
+                for b in range(B)
+            ])                                                 # [B, 3, S]
+            d_depth = jnp.sum(w * g_depth, axis=1, keepdims=True)
 
-            dchunk = jnp.concatenate(
+            # Emit channel-major [B, 10, S] directly (no per-chunk
+            # transpose): the gather VJP consumes the cotangent table as ten
+            # 1-D COLUMNS (sort operands), each a contiguous [T, K] slab of
+            # this layout.
+            d_ref[:, :, c * S:(c + 1) * S] = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_color, d_depth],
-                axis=0,
-            )                                                  # [10, S]
-            return dchunk, sfx + jnp.sum(dw_w, axis=1, keepdims=True)
+                axis=1,
+            )                                                  # [B, 10, S]
+            sfx_ref[...] = sfx + jnp.sum(dw_w, axis=2, keepdims=True)
 
-        def skip(sfx):
-            return jnp.zeros((_NCH, S), jnp.float32), sfx
-
-        dchunk, suffix = jax.lax.cond(
-            (jnp.max(carry_T) > config.transmittance_min) & (cnt > c * S),
-            heavy, skip, suffix,
-        )
-        # Emit channel-major [10, S] directly (no per-chunk transpose): the
-        # gather VJP now consumes the cotangent table as ten 1-D COLUMNS
-        # (sort operands), each a contiguous [T, K] slab of this layout.
-        d_ref[b, :, c * S:(c + 1) * S] = dchunk
+        @pl.when(jnp.logical_not(pred))
+        def _skip(c=c):
+            d_ref[:, :, c * S:(c + 1) * S] = jnp.zeros(
+                (B, _NCH, S), jnp.float32
+            )
 
 
 # --------------------------------------------------------------------------
@@ -407,6 +489,9 @@ def _fwd_impl(gT, counts, ts, config):
         out_specs=pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, P, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((B, P, 1), jnp.float32),                # carry_T
+        ],
         interpret=_interpret(),
         compiler_params=_params(),
     )(cnt_i, params)
@@ -465,6 +550,17 @@ def _bwd_rule(ts, config, residuals, cotangents):
         out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T_pad, _NCH, K_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_chunks + 1, B, P, 1), jnp.float32),  # carries
+            pltpu.VMEM((B, P, 1), jnp.float32),                # suffix
+            # Forward-sweep term cache consumed by the reverse sweep
+            # (alpha, exp_term, sigma, within-chunk exclusive factor):
+            # 4 * n_chunks * B * P * S * 4B ≈ 12.6 MB at K=384, B=8.
+            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
+            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
+            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
+            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
+        ],
         interpret=_interpret(),
         compiler_params=_params(),
     )(cnt_i, params, ct)

@@ -296,7 +296,7 @@ def _build_tile_table(
     # + the top depth_bits-9 mantissa bits): at 8k tiles that is ~9 mantissa
     # bits, i.e. depths within a relative ~2^-10 of each other may collide.
     # Colliding entries composite in entry-id order — DETERMINISTIC because
-    # lax.sort is stable — a bounded, documented deviation from an exact
+    # the entry iota is the second sort key — a bounded, documented deviation from an exact
     # 64-bit (tile, depth) sort; alpha blending of near-equal-depth splats is
     # insensitive to their relative order at this granularity.
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
@@ -320,7 +320,12 @@ def _build_tile_table(
     E = n * C
     flat_entry = jnp.arange(E, dtype=jnp.int32)
 
-    sorted_key, sorted_entry = jax.lax.sort((flat_key, flat_entry), num_keys=1)
+    # num_keys=2: the entry iota doubles as the tie-breaking key, giving
+    # exactly stable-sort order without XLA's hidden stability iota (a third
+    # 4M column, measured 2.5 ms at bench scale).
+    sorted_key, sorted_entry = jax.lax.sort(
+        (flat_key, flat_entry), num_keys=2, is_stable=False
+    )
     sorted_tiles = (sorted_key >> depth_bits).astype(jnp.int32)
 
     # Rank within tile run: distance to the run's first index (cummax trick).
