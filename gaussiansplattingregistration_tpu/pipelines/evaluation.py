@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 from typing import Callable, List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -88,6 +89,14 @@ def evaluate_registration(
     """Render the merged cloud from every camera and score against GT images."""
     merged = cloud_first.merge(cloud_second, jnp.asarray(transformation, jnp.float32))
     lpips_callable = metrics_ops.lpips_fn() if use_lpips else None
+    if getattr(lpips_callable, "source", None) == "random":
+        print(
+            "WARNING: LPIPS is using the untrained random-feature fallback "
+            "(no trained AlexNet weights found — set GSR_LPIPS_WEIGHTS or "
+            "install the `lpips` package). Values are NOT comparable to "
+            "published trained-LPIPS numbers.",
+            file=sys.stderr,
+        )
 
     per_camera: List[dict] = []
     errors: List[str] = []
