@@ -107,7 +107,7 @@ def _exchange_records(rec, bucket, n_dev, cap, axis):
     return recv, dropped
 
 
-def _composite_body(
+def composite_body(
     means, cov3d, opacity, features,
     viewmat, intrinsics, background,
     width: int, height: int, sh_degree: int,
@@ -228,7 +228,7 @@ def rasterize_arrays_depth_sharded(
     out_specs = (P(axis), P(axis), P(axis), P())
 
     body = functools.partial(
-        _composite_body,
+        composite_body,
         width=width, height=height, sh_degree=sh_degree,
         tiles_x=tiles_x, tiles_y_padded=tiles_y_padded, cap=cap,
         config=config, axis=axis,

@@ -13,8 +13,11 @@ The full multi-chip training configuration (SURVEY.md §2.9 / §5.7):
   all_gather) and is implicitly all-reduced by the loss psum.
 
 `make_photometric_train_step` returns a jitted `step(xi, opt_state, splats,
-cameras, targets) -> (xi, opt_state, loss)` ready for a real pod slice; the
-driver's `dryrun_multichip` runs one step of exactly this on a virtual mesh.
+cameras, targets) -> (xi, opt_state, loss, dropped)` ready for a real pod
+slice; the driver's `dryrun_multichip` runs one step of exactly this on a
+virtual mesh — both compositing modes. The `compositor="depth_sharded"`
+variant replaces the all_gather slab (O(N_total) per device) with the
+SURVEY §5.7 depth-sharded compositor (O(N/D + tiles) per device).
 """
 
 from __future__ import annotations
@@ -42,6 +45,8 @@ def make_photometric_train_step(
     sh_degree: int,
     config: RasterizeConfig,
     learning_rate: float = 5e-3,
+    compositor: str = "all_gather",
+    capacity_slack: float = 1.5,
 ):
     """Build the jitted sharded train step. Shapes are static:
 
@@ -50,9 +55,26 @@ def make_photometric_train_step(
     intrinsics [C,3,3]) and targets [C,H,W,3] with C divisible by the
     data-axis size. Targets enter sharded over `data` and height-padded to
     the tile grid.
+
+    compositor:
+      * "all_gather"    — every device receives every screen record and
+        composites its tile slab: O(N_total) per-device memory, one gather;
+      * "depth_sharded" — the SURVEY §5.7 scalable path
+        (`parallel/compositor.py`): records are all_to_all'ed into depth
+        buckets, each device composites its ~N/D-record depth slice over the
+        full grid, then tile slabs fold front-to-back. O(N/D + tiles)
+        per-device memory. Per-bucket capacity is `capacity_slack * N/D`;
+        overflowing records are DROPPED and counted in the step's `dropped`
+        output — a nonzero count means the render (and its gradients)
+        silently truncated and capacity_slack should be raised.
+
+    Returns (step, init, pad_targets); `step(...) -> (xi, opt_state, loss,
+    dropped)` where dropped == 0 always for "all_gather".
     """
     import optax
 
+    if compositor not in ("all_gather", "depth_sharded"):
+        raise ValueError(f"unknown compositor {compositor!r}")
     ts = config.tile_size
     tiles_x = -(-width // ts)
     tiles_y = -(-height // ts)
@@ -74,7 +96,23 @@ def make_photometric_train_step(
         means_t = means @ R.T + T[:3, 3]
         cov_t = math3d.transform_covariance(cov, R)
 
-        def per_camera(args):
+        # Depth-sharded per-bucket capacity, from the static local shard size.
+        n_local = means.shape[0]
+        cap = max(128, -(-int(n_local * capacity_slack) // n_splat // 128) * 128)
+
+        def slab_error(rgb, target):
+            # My slab of this camera's target; mask padding rows/cols.
+            tgt_slab = jax.lax.dynamic_slice_in_dim(
+                target, ty_offset * ts, tiles_per_dev * ts, axis=0
+            )
+            row = jnp.arange(tiles_per_dev * ts) + ty_offset * ts
+            col = jnp.arange(tiles_x * ts)
+            mask = (
+                (row[:, None] < height) & (col[None, :] < width)
+            ).astype(rgb.dtype)[..., None]
+            return jnp.sum(((jnp.clip(rgb, 0.0, 1.0) - tgt_slab) ** 2) * mask)
+
+        def per_camera_all_gather(args):
             viewmat, intrinsic, target = args
             proj = project_gaussians(
                 means_t, cov_t, viewmat, intrinsic, width, height, config
@@ -91,24 +129,39 @@ def make_photometric_train_step(
                 tiles_x, tiles_y_padded, config,
                 ty_offset=ty_offset, tiles_y_window=tiles_per_dev,
             )
-            # My slab of this camera's target.
-            tgt_slab = jax.lax.dynamic_slice_in_dim(
-                target, ty_offset * ts, tiles_per_dev * ts, axis=0
-            )
-            # Mask rows/cols beyond the true image (padding).
-            row = jnp.arange(tiles_per_dev * ts) + ty_offset * ts
-            col = jnp.arange(tiles_x * ts)
-            mask = (
-                (row[:, None] < height) & (col[None, :] < width)
-            ).astype(rgb.dtype)[..., None]
-            err = jnp.sum(((jnp.clip(rgb, 0.0, 1.0) - tgt_slab) ** 2) * mask)
-            return err
+            return slab_error(rgb, target), jnp.zeros((), jnp.int32)
 
-        errs = jax.lax.map(per_camera, (viewmats, intrinsics, targets))
-        total = jnp.sum(errs)
-        total = jax.lax.psum(total, ("data", "splat"))
+        def per_camera_depth_sharded(args):
+            from gaussiansplattingregistration_tpu.parallel.compositor import (
+                composite_body,
+            )
+
+            viewmat, intrinsic, target = args
+            # composite_body routes records into depth buckets (all_to_all),
+            # composites this device's depth slice over the full grid, and
+            # slab-exchanges so this device ends with ITS final tile slab —
+            # the same slab layout as the all_gather path.
+            rgb, _alpha, _dep, dropped = composite_body(
+                means_t, cov_t, op, feats, viewmat, intrinsic,
+                jnp.zeros(3, means.dtype),
+                width=width, height=height, sh_degree=sh_degree,
+                tiles_x=tiles_x, tiles_y_padded=tiles_y_padded, cap=cap,
+                config=config, axis="splat",
+            )
+            return slab_error(rgb, target), dropped.astype(jnp.int32)
+
+        per_camera = (
+            per_camera_depth_sharded
+            if compositor == "depth_sharded"
+            else per_camera_all_gather
+        )
+        errs, dropped = jax.lax.map(per_camera, (viewmats, intrinsics, targets))
+        total = jax.lax.psum(jnp.sum(errs), ("data", "splat"))
+        # per-camera dropped is already splat-psum'd inside composite_body
+        # (replicated over the splat axis) — reduce over cameras + data only.
+        dropped_total = jax.lax.psum(jnp.sum(dropped), "data")
         n_cams_total = viewmats.shape[0] * mesh.shape["data"]
-        return total / (n_cams_total * height * width * 3.0)
+        return total / (n_cams_total * height * width * 3.0), dropped_total
 
     in_specs = (
         P(),                                  # xi
@@ -116,23 +169,25 @@ def make_photometric_train_step(
         P("data"), P("data"), P("data"),
     )
     sharded_loss = jax.shard_map(
-        body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+        body, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_vma=False,
     )
 
     def loss_fn(xi, splats, viewmats, intrinsics, targets):
-        return sharded_loss(
+        loss, dropped = sharded_loss(
             xi, splats["means"], splats["cov"], splats["opacity"],
             splats["features"], viewmats, intrinsics, targets,
         )
+        return loss, dropped
 
     @jax.jit
     def step(xi, opt_state, splats, viewmats, intrinsics, targets):
-        loss, grad = jax.value_and_grad(loss_fn)(
+        (loss, dropped), grad = jax.value_and_grad(loss_fn, has_aux=True)(
             xi, splats, viewmats, intrinsics, targets
         )
         updates, opt_state = optimizer.update(grad, opt_state, xi)
         xi = optax.apply_updates(xi, updates)
-        return xi, opt_state, loss
+        return xi, opt_state, loss, dropped
 
     def init(xi0=None):
         xi = jnp.zeros(6, jnp.float32) if xi0 is None else jnp.asarray(xi0)

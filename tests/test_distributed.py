@@ -88,8 +88,8 @@ viewmats = jax.device_put(viewmats, data_shard)
 intrinsics = jax.device_put(intrinsics, data_shard)
 targets = jax.device_put(targets, data_shard)
 xi, opt_state = init()
-xi, opt_state, loss = step(xi, opt_state, splats, viewmats, intrinsics,
-                           targets)
+xi, opt_state, loss, dropped = step(xi, opt_state, splats, viewmats,
+                                    intrinsics, targets)
 assert np.isfinite(float(loss)), float(loss)
 if distributed.is_primary():
     print("MULTIHOST_OK", float(loss))
