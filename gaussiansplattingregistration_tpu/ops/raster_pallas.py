@@ -63,6 +63,9 @@ _CHUNK = 128          # K entries streamed per unrolled chunk (lane multiple)
 _NCH = 10             # packed param channels (mx,my,conic*3,op,rgb,depth)
 _BLOCK = 8            # tiles per grid step (amortizes ~6us/step grid overhead)
 _VMEM_LIMIT = 100 * 1024 * 1024
+# Max bytes for the backward term cache (see _bwd_rule); ~16 MB/core VMEM
+# minus headroom for params, cotangents, outputs, carries, compiler temps.
+_TERM_CACHE_BUDGET = 13 * 1024 * 1024
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -267,7 +270,7 @@ def _dot_tri_blk(x, tri):
 def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
                 alpha_ref, expt_ref, sigma_ref, texc_ref, *,
                 ts: int, n_chunks: int, block: int,
-                config: RasterizeConfig):
+                config: RasterizeConfig, cache_terms: bool = True):
     """Single kernel: unrolled forward sweep stores per-chunk transmittance
     carries in a VMEM scratch; unrolled reverse sweep consumes them while
     accumulating the gradient suffix statistic.
@@ -281,7 +284,13 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
     phi. `pl.when` has no carries — skipped chunks cost one SMEM compare.
     Gradients are unchanged: a tile whose own horizon ends earlier than the
     block's contributes exactly zero through the live mask (w = dlda = 0),
-    the same zeros its skip branch used to write."""
+    the same zeros its skip branch used to write.
+
+    With `cache_terms=False` (VMEM-budget fallback, chosen by `_bwd_rule`
+    when the 4 x [n_chunks, B, P, S] cache would exceed the ~16 MB/core
+    VMEM), the forward sweep stores only the cheap [n_chunks+1, B, P, 1]
+    carries and the reverse sweep recomputes each chunk's terms — the
+    pre-cache formulation, numerically identical (same ops, same order)."""
     dtype = p_ref.dtype
     px, py = _pixel_coords(ts, dtype)
     P = ts * ts
@@ -317,14 +326,15 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
             )
             lt = jnp.log1p(-alpha)
             cum = _dot_tri_blk(lt, tri)
-            # Cache the chunk terms the reverse sweep would otherwise
-            # recompute (~35 VPU passes/element incl. two transcendentals):
-            # alpha, exp_term, sigma, and the within-chunk entry-EXCLUSIVE
-            # transmittance factor exp(cum - lt).
-            alpha_ref[c] = alpha
-            expt_ref[c] = exp_term
-            sigma_ref[c] = sigma
-            texc_ref[c] = jnp.exp(cum - lt)
+            if cache_terms:
+                # Cache the chunk terms the reverse sweep would otherwise
+                # recompute (~35 VPU passes/element incl. two
+                # transcendentals): alpha, exp_term, sigma, and the
+                # within-chunk entry-EXCLUSIVE factor exp(cum - lt).
+                alpha_ref[c] = alpha
+                expt_ref[c] = exp_term
+                sigma_ref[c] = sigma
+                texc_ref[c] = jnp.exp(cum - lt)
             carry_ref[c + 1] = carry_ref[c] * jnp.exp(cum[:, :, S - 1:S])
 
         @pl.when(jnp.logical_not(pred))
@@ -332,9 +342,13 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
             carry_ref[c + 1] = carry_ref[c]
 
     # ---- reverse sweep: suffix statistic + gradients ----------------------
-    g_rgb = ct_ref[:, :, 0:3]                                  # [B, P, 3]
-    g_depth = ct_ref[:, :, 3:4]                                # [B, P, 1]
-    G5 = ct_ref[:, :, 0:5]                                     # [B, P, 5]
+    # ct arrives CHANNEL-on-SUBLANES [B, 8, P]: (ch, P) tiles are fully
+    # packed (a [B, P, 8] layout uses 8 of 128 lanes per tile — its HBM
+    # assembly alone cost ~2 ms at bench scale), and every consumer below
+    # is an MXU dot contracting the channel or pixel dim directly.
+    g_rgb = ct_ref[:, 0:3, :]                                  # [B, 3, P]
+    g_depth = ct_ref[:, 3:4, :]                                # [B, 1, P]
+    G5 = ct_ref[:, 0:5, :]                                     # [B, 5, P]
 
     sfx_ref[...] = jnp.zeros((B, P, 1), jnp.float32)
     for c in reversed(range(n_chunks)):
@@ -350,22 +364,30 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
         def _heavy(c=c):
             sfx = sfx_ref[...]
             pc = p_ref[:, :, c * S:(c + 1) * S]                # [B, NCH, S]
-            alpha = alpha_ref[c]
-            exp_term = expt_ref[c]
-            sigma = sigma_ref[c]
+            if cache_terms:
+                alpha = alpha_ref[c]
+                exp_term = expt_ref[c]
+                sigma = sigma_ref[c]
+                texc = texc_ref[c]
+                dx = px[None, :, :] - pc[:, 0:1, :]
+                dy = py[None, :, :] - pc[:, 1:2, :]
+            else:
+                alpha, _, exp_term, sigma, dx, dy = _chunk_terms_blk(
+                    pc, px, py, config
+                )
+                lt = jnp.log1p(-alpha)
+                texc = jnp.exp(_dot_tri_blk(lt, tri) - lt)
             raw_alpha = pc[:, 5:6, :] * exp_term
-            dx = px[None, :, :] - pc[:, 0:1, :]
-            dy = py[None, :, :] - pc[:, 1:2, :]
-            T = carry_ref[c] * texc_ref[c]                     # exclusive
+            T = carry_ref[c] * texc                            # exclusive
             live = T > tmin
             w = jnp.where(live, alpha * T, 0.0)
 
-            # dL/dw [b][P, S] = G5 [P, 5] @ vals [5, S] — per-tile MXU dots
+            # dL/dw [b][P, S] = G5 [5, P]^T @ vals [5, S] — per-tile MXU dots
             # (unrolled; Mosaic has no batched dot).
             dldw = jnp.stack([
                 jax.lax.dot_general(
                     G5[b], _vals_rows(pc[b]),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
                 for b in range(B)
@@ -400,16 +422,25 @@ def _bwd_kernel(cnt_ref, p_ref, ct_ref, d_ref, carry_ref, sfx_ref,
             d_mx = -jnp.sum(ddx, axis=1, keepdims=True)
             d_my = -jnp.sum(ddy, axis=1, keepdims=True)
 
-            # d_color rows [3, S] = g_rgb.T @ w — contract P on the MXU.
+            # d_color rows [3, S] = g_rgb [3, P] @ w [P, S]; d_depth [1, S]
+            # likewise — both contract the pixel dim on the MXU with ct's
+            # channel-major rows used directly.
             d_color = jnp.stack([
                 jax.lax.dot_general(
                     g_rgb[b], w[b],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=_HI,
                 )
                 for b in range(B)
             ])                                                 # [B, 3, S]
-            d_depth = jnp.sum(w * g_depth, axis=1, keepdims=True)
+            d_depth = jnp.stack([
+                jax.lax.dot_general(
+                    g_depth[b], w[b],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )
+                for b in range(B)
+            ])                                                 # [B, 1, S]
 
             # Emit channel-major [B, 10, S] directly (no per-chunk
             # transpose): the gather VJP consumes the cotangent table as ten
@@ -522,19 +553,32 @@ def _bwd_rule(ts, config, residuals, cotangents):
 
     params = _pad_axis(_pad_axis(gT, K_pad, 2), T_pad, 0)
     cnt_i = _pad_axis(counts, T_pad, 0).astype(jnp.int32)
+    # CHANNEL-on-SUBLANES [T, 8, P] (see _bwd_kernel): fully-packed (8, P)
+    # lane-tiles; the moveaxis fuses into the producers (cotangents arrive
+    # from row gathers / broadcasts upstream).
     ct = jnp.concatenate(
         [
-            g_rgb,
-            g_depth[..., None],
-            g_alpha[..., None],
-            jnp.zeros((T0, P, 3), jnp.float32),
+            jnp.moveaxis(g_rgb, 2, 1),
+            g_depth[:, None, :],
+            g_alpha[:, None, :],
+            jnp.zeros((T0, 3, P), jnp.float32),
         ],
-        axis=-1,
+        axis=1,
     )
     ct = _pad_axis(ct, T_pad, 0)
 
+    # Forward-sweep term cache: 4 x [n_chunks, B, P, S] f32 — 12.6 MB at
+    # K=384/B=8, which fits the ~16 MB/core VMEM next to the ~0.6 MB of
+    # params/cotangents/outputs, but K >= 512 would not. Past the budget,
+    # fall back to recomputing chunk terms in the reverse sweep (the
+    # pre-cache formulation) instead of failing to compile.
+    cache_bytes = 4 * n_chunks * B * P * S * 4
+    cache_terms = cache_bytes <= _TERM_CACHE_BUDGET
+    cache_shape = (n_chunks, B, P, S) if cache_terms else (1, 1, 8, S)
+
     kernel = functools.partial(
-        _bwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config
+        _bwd_kernel, ts=ts, n_chunks=n_chunks, block=B, config=config,
+        cache_terms=cache_terms,
     )
     d_params = pl.pallas_call(
         kernel,
@@ -544,7 +588,7 @@ def _bwd_rule(ts, config, residuals, cotangents):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, P, 8), lambda t: (t, 0, 0),
+            pl.BlockSpec((B, 8, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, _NCH, K_pad), lambda t: (t, 0, 0),
@@ -553,13 +597,10 @@ def _bwd_rule(ts, config, residuals, cotangents):
         scratch_shapes=[
             pltpu.VMEM((n_chunks + 1, B, P, 1), jnp.float32),  # carries
             pltpu.VMEM((B, P, 1), jnp.float32),                # suffix
-            # Forward-sweep term cache consumed by the reverse sweep
-            # (alpha, exp_term, sigma, within-chunk exclusive factor):
-            # 4 * n_chunks * B * P * S * 4B ≈ 12.6 MB at K=384, B=8.
-            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
-            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
-            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
-            pltpu.VMEM((n_chunks, B, P, S), jnp.float32),
+            pltpu.VMEM(cache_shape, jnp.float32),              # alpha cache
+            pltpu.VMEM(cache_shape, jnp.float32),              # exp_term
+            pltpu.VMEM(cache_shape, jnp.float32),              # sigma
+            pltpu.VMEM(cache_shape, jnp.float32),              # texc
         ],
         interpret=_interpret(),
         compiler_params=_params(),

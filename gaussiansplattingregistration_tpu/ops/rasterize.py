@@ -217,6 +217,34 @@ def _align_runs_conv(vals: jax.Array, starts: jax.Array, counts: jax.Array,
     return jnp.where(kcol < counts[:, None], ids, -1)
 
 
+def _gather_rows_flat(x: jax.Array, perm: jax.Array) -> jax.Array:
+    """Row-permute with the trailing dims FLATTENED first: a gather of
+    [T, P, ch] slices reads (P, ch)-tiled lane-tiles at ch/128 utilization
+    (profiled 2.07 ms for ch=8 at bench scale); as [T, P*ch] wide rows the
+    same permutation is a plain row gather (~0.05 ms)."""
+    flat = x.reshape(x.shape[0], -1)
+    return flat[perm].reshape(x.shape)
+
+
+@jax.custom_vjp
+def _permute_rows(x: jax.Array, perm: jax.Array, inv_perm: jax.Array):
+    """x[perm] with a gather-only VJP: the cotangent of a PERMUTATION gather
+    is the inverse-permutation gather (autodiff's generic transpose would
+    emit a serialized XLA scatter instead)."""
+    return _gather_rows_flat(x, perm)
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return _gather_rows_flat(x, perm), inv_perm
+
+
+def _permute_rows_bwd(inv_perm, ct):
+    return _gather_rows_flat(ct, inv_perm), None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _build_tile_table(
     means2d: jax.Array,
     radius: jax.Array,
@@ -255,10 +283,15 @@ def _build_tile_table(
 
     Returns (table [num_tiles, K] int32 ENTRY ids (splat_id * C + c) with -1
     for empty slots, sorted_entry, dest, counts [num_tiles] int32
-    post-truncation occupancy, build_stats) where build_stats is None unless
-    `with_stats`, else a dict of truncation counters (see
-    `rasterize_arrays_with_stats`). Consumers derive splat ids as
-    `table // C`; the entry ids are what the gradient transport needs
+    post-truncation occupancy, order, build_stats). On the pallas backend
+    the table/counts ROWS are permuted into descending-occupancy order and
+    `order` is that permutation ([T] int32, table row r = tile order[r]) —
+    kernel blocks then have homogeneous occupancy and chunk-skipping does
+    occupancy-proportional work; consumers restore image order with one
+    [T]-row gather (`order=None` on the xla backend: identity order).
+    build_stats is None unless `with_stats`, else a dict of truncation
+    counters (see `rasterize_arrays_with_stats`). Consumers derive splat ids
+    as `table // C`; the entry ids are what the gradient transport needs
     (`gather_entries`' VJP sorts cotangent rows by entry id).
     """
     n = means2d.shape[0]
@@ -356,7 +389,19 @@ def _build_tile_table(
         ).astype(jnp.int32)
         runs = bounds[1:] - bounds[:-1]
         counts = jnp.minimum(runs, K)
-        table = _align_runs_conv(sorted_entry, bounds[:-1], counts,
+        # OCCUPANCY ORDER: emit table rows sorted by descending tile
+        # occupancy. The Pallas kernels chunk-skip at BLOCK granularity
+        # (gated on the block's max count, raster_pallas._BLOCK tiles per
+        # grid step); in image order a block's max tracks a high quantile
+        # of the count distribution, so nearly every block pays for K. With
+        # homogeneous blocks the per-block max tracks the per-block MEAN —
+        # the kernels do occupancy-proportional work. The permutation is a
+        # [T]-element sort + [T]-row gathers here, and ONE [T]-row gather
+        # per output to restore image order (tiles_to_image); the gradient
+        # transport is order-blind (it sorts by entry id globally).
+        order = jnp.argsort(-counts).astype(jnp.int32)
+        counts = counts[order]
+        table = _align_runs_conv(sorted_entry, bounds[:-1][order], counts,
                                  num_tiles, K)
     else:
         table = jnp.full(num_tiles * K, -1, jnp.int32).at[dest].set(
@@ -364,6 +409,7 @@ def _build_tile_table(
         ).reshape(num_tiles, K)
         counts = jnp.sum(table >= 0, axis=1, dtype=jnp.int32)
         runs = None
+        order = None
     build_stats = None
     if with_stats:
         if runs is None:  # xla path: recover pre-truncation run lengths
@@ -388,7 +434,7 @@ def _build_tile_table(
             # render of this scene/view needs
             "max_run": jnp.max(runs).astype(jnp.int32),
         }
-    return table, sorted_entry, dest, counts, build_stats
+    return table, sorted_entry, dest, counts, order, build_stats
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -525,10 +571,10 @@ def _gather_entries_bwd(C, k_bwd, residuals, ct):
     live_dense = (
         jax.lax.sort((packed_k,), num_keys=1, is_stable=False)[0] & 1
     ).astype(jnp.int32)
-    cnt = jax.lax.reduce_window(
-        live_dense, 0, jax.lax.add,
-        window_dimensions=(C,), window_strides=(C,), padding="VALID",
-    )                                                        # [N]
+    # Reshape-sum, NOT reduce_window: the strided window lowers with a
+    # [E,1]{0,1:T(1,128)} layout (1-sublane tiles, profiled 1.78 ms at
+    # bench scale); the [N, C] row reduction fuses at bandwidth.
+    cnt = jnp.sum(live_dense.reshape(-1, C), axis=1)         # [N]
     pos0 = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)         # exclusive
 
     # 5. Windowed RUN-selector landing: each splat's <= C live rows are
@@ -630,7 +676,7 @@ def rasterize_tile_slab(
     num_tiles = tiles_x * tiles_y_window
 
     op = opacity * valid.astype(opacity.dtype)
-    table, sorted_entry, dest, counts, build_stats = _build_tile_table(
+    table, sorted_entry, dest, counts, order, build_stats = _build_tile_table(
         means2d, radius, depth, valid, tiles_x, tiles_y, config,
         ty_offset=ty_offset, tiles_y_window=tiles_y_window,
         with_stats=with_stats,
@@ -642,6 +688,11 @@ def rasterize_tile_slab(
         [(tile_ids % tiles_x) * ts, (tile_ids // tiles_x + ty_offset) * ts],
         axis=-1,
     ).astype(means2d.dtype)
+    if order is not None:
+        # Table rows are in descending-occupancy order (see
+        # _build_tile_table): use matching origins, and restore image order
+        # on the composited outputs with one [T]-row gather.
+        tile_origin = tile_origin[order]
 
     P = ts * ts
     K = config.max_splats_per_tile
@@ -669,6 +720,14 @@ def rasterize_tile_slab(
         rgb, alpha, depthmap, live = raster_pallas.composite_tiles_pallas(
             gT, counts[:, None].astype(means2d.dtype), ts, config
         )
+        # Restore image (tile-id) order: one [T]-row gather per output.
+        # custom-vjp because the autodiff transpose of a gather is an XLA
+        # scatter (serialized, ~2 ms here); the inverse of a permutation
+        # gather is just the forward permutation's gather.
+        inv_order = jnp.argsort(order)
+        rgb = _permute_rows(rgb, inv_order, order)
+        alpha = _permute_rows(alpha, inv_order, order)
+        depthmap = _permute_rows(depthmap, inv_order, order)
     else:
         # One wide packed gather instead of six row gathers — TPU gathers
         # are per-row latency-bound, so fusing the columns is ~6x cheaper.

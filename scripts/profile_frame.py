@@ -76,7 +76,8 @@ def main():
             print(f"K={ksz}: trunc_psnr={psnr:.2f} dB  frame={dt:.1f} ms  "
                   f"px/s={WIDTH * HEIGHT / dt * 1000 / 1e6:.2f}M", flush=True)
 
-    cfg = RasterizeConfig(max_tiles_per_splat=4, max_splats_per_tile=512,
+    # The bench headline config (bench.py): K=384.
+    cfg = RasterizeConfig(max_tiles_per_splat=4, max_splats_per_tile=384,
                           tile_chunk=32, backend="pallas")
     dt, top = device_time(frame_fn(cfg), (means, cov, op, feat), iters=4,
                           top_n=16, verbose=False)

@@ -78,7 +78,7 @@ def main():
             tiles_x, tiles_y, config,
         )
 
-    table, sorted_entry, dest = jax.jit(build_table)(proj)
+    table, sorted_entry, dest, *_ = jax.jit(build_table)(proj)
     jax.block_until_ready(table)
 
     packed = jnp.concatenate(

@@ -368,7 +368,7 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
     radius = jnp.asarray(rng.uniform(1, 20, size=n), jnp.float32)
     depth = jnp.asarray(rng.uniform(0.5, 5.0, size=n), jnp.float32)
     valid = jnp.asarray(rng.uniform(size=n) > 0.2)
-    table, sorted_entry, dest, _, _ = _build_tile_table(
+    table, sorted_entry, dest, _, _, _ = _build_tile_table(
         means2d, radius, depth, valid, tiles_x=4, tiles_y=3, config=cfg
     )
     packed = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
