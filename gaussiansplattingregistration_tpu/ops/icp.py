@@ -209,7 +209,9 @@ def _intensity(colors: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("registration_type", "rejection_type", "k_value"),
+    static_argnames=(
+        "registration_type", "rejection_type", "k_value", "grid_dims"
+    ),
 )
 def _icp_loop(
     src_points, src_colors, src_cov_reg,
@@ -223,12 +225,24 @@ def _icp_loop(
     relative_rmse,
     max_iteration,      # traced: one compile serves every iteration budget
     n_src_true,         # traced: true (pre-padding) source count
+    grid_table=None,    # [n_cells, W*4] candidate table (ops/knn.py) or None
+    grid_origin=None,
+    grid_inv_cell=None,
+    grid_dims=None,     # static (nx, ny, nz, W) — None selects brute force
 ):
     max_d2 = max_correspondence * max_correspondence
 
     def correspondences(T):
         p = src_points @ T[:3, :3].T + T[:3, 3]
-        d2, idx = knn_ops.nearest_neighbor(p, tgt_points)
+        if grid_dims is not None:
+            # Gated NN via the 27-cell candidate table: exact for every
+            # in-gate match (the only ones the mask admits below).
+            nx, ny, nz, w = grid_dims
+            d2, idx = knn_ops.grid_nearest_neighbor(
+                p, grid_table, grid_origin, grid_inv_cell, nx, ny, nz, w
+            )
+        else:
+            d2, idx = knn_ops.nearest_neighbor(p, tgt_points)
         mask = d2 <= max_d2
         count = jnp.maximum(jnp.sum(mask), 1)
         fitness = jnp.sum(mask) / n_src_true
@@ -315,16 +329,25 @@ def icp(
     params: LocalRegistrationParams,
     init_transform=None,
     shape_bucket: bool = False,
+    correspondence: str = "auto",
 ) -> RegistrationResult:
     """Run local ICP registration. Drop-in analogue of `do_icp_registration`
     (`/root/reference/src/utils/local_registration_util.py:76-100`).
 
     `shape_bucket=True` pads both clouds up to a coarse size grid so repeat
     calls at nearby sizes (multiscale pyramids) reuse one compiled solver.
+
+    `correspondence`: "brute" = blocked [Q, N] min/argmin sweep; "grid" =
+    the 27-cell candidate table (ops/knn.py `grid_nn_plan`), exact under the
+    correspondence gate and ~O(Q * W) per iteration; "auto" picks grid when
+    Q * N is large enough to pay for the host-side table build and the
+    scene's density admits a bounded table.
     """
     if init_transform is None:
         init_transform = jnp.eye(4)
     init_transform = jnp.asarray(init_transform, jnp.float32)
+    if correspondence not in ("auto", "brute", "grid"):
+        raise ValueError(f"unknown correspondence mode {correspondence!r}")
 
     rt = params.registration_type
     needs_normals = rt is not LocalRegistrationType.ICP_POINT_TO_POINT
@@ -357,6 +380,18 @@ def icp(
         src_cov_reg = gicp_regularized_covariances(source.points, source.covariances)
         tgt_cov_reg = gicp_regularized_covariances(target.points, target.covariances)
 
+    # Grid-pruned correspondence plan (host-side; before any padding so the
+    # table indexes the TRUE target rows).
+    grid = None
+    want_grid = correspondence == "grid" or (
+        correspondence == "auto"
+        and source.num_points * target.num_points >= 10_000_000
+    )
+    if want_grid:
+        grid = knn_ops.grid_nn_plan(
+            np.asarray(target.points), float(params.max_correspondence)
+        )
+
     src_points, tgt_points = source.points, target.points
     n_src_true = src_points.shape[0]
     if shape_bucket:
@@ -371,6 +406,16 @@ def icp(
         tgt_grads = _pad_rows(tgt_grads, bt)
         tgt_cov_reg = _pad_rows(tgt_cov_reg, bt)
 
+    if grid is not None:
+        g_table, g_origin, g_inv, (gnx, gny, gnz), gw = grid
+        grid_kw = dict(
+            grid_table=jnp.asarray(g_table),
+            grid_origin=jnp.asarray(g_origin),
+            grid_inv_cell=jnp.asarray(g_inv),
+            grid_dims=(gnx, gny, gnz, gw),
+        )
+    else:
+        grid_kw = {}
     T, fitness, rmse, iters, converged = _icp_loop(
         src_points, src_colors, src_cov_reg,
         tgt_points, tgt_normals, tgt_colors, tgt_grads, tgt_cov_reg,
@@ -383,6 +428,7 @@ def icp(
         jnp.asarray(params.relative_rmse, jnp.float32),
         jnp.asarray(params.max_iteration, jnp.int32),
         jnp.asarray(n_src_true, jnp.float32),
+        **grid_kw,
     )
     return RegistrationResult(
         transformation=np.asarray(T, np.float64),

@@ -357,7 +357,239 @@ def make_icp_golden():
           f"pl fitness {f_pl:.4f} rmse {r_pl:.2e}")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Colored-ICP oracle (Park/Zhou/Koltun 2017 joint objective, Open3D
+# registration_colored_icp semantics: local_registration_util.py:85-88), f64
+# ---------------------------------------------------------------------------
+
+LAMBDA_GEOMETRIC = 0.968   # Open3D default
+GRAD_K = 30                # InitializePointCloudForColoredICP neighborhood
+GRAD_CONSTRAINT = 10.0     # soft g.n = 0 weight
+GICP_K = 20                # GICP covariance neighborhood
+GICP_EPS = 1e-3            # (eps, 1, 1) eigenvalue regularization
+
+
+def se3_exp_np(dx):
+    """exp of (t, w) — translation first, matching the production solver
+    layout; f64."""
+    t_, w_ = dx[:3], dx[3:]
+    th = np.linalg.norm(w_)
+    Wx = np.array([[0, -w_[2], w_[1]], [w_[2], 0, -w_[0]], [-w_[1], w_[0], 0]])
+    if th < 1e-12:
+        R = np.eye(3) + Wx
+        V = np.eye(3)
+    else:
+        R = (np.eye(3) + np.sin(th) / th * Wx
+             + (1 - np.cos(th)) / th**2 * (Wx @ Wx))
+        V = (np.eye(3) + (1 - np.cos(th)) / th**2 * Wx
+             + (th - np.sin(th)) / th**3 * (Wx @ Wx))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ t_
+    return T
+
+
+def knn_brute(q, ref, k):
+    d2 = np.sum((q[:, None, :] - ref[None, :, :]) ** 2, axis=2)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return idx
+
+
+def color_gradients_oracle(pts, nrm, intens, k=GRAD_K):
+    """Per-point tangent-plane intensity gradient: least squares over the
+    kNN neighborhood projected onto the tangent plane, with a soft g.n = 0
+    constraint — Open3D InitializePointCloudForColoredICP."""
+    idx = knn_brute(pts, pts, k)
+    g = np.zeros_like(pts)
+    for i in range(len(pts)):
+        nb = pts[idx[i]]
+        rel = nb - pts[i]
+        rel_t = rel - (rel @ nrm[i])[:, None] * nrm[i]
+        di = intens[idx[i]] - intens[i]
+        A = rel_t.T @ rel_t + GRAD_CONSTRAINT * np.outer(nrm[i], nrm[i]) \
+            + 1e-6 * np.eye(3)
+        g[i] = np.linalg.solve(A, rel_t.T @ di)
+    return g
+
+
+def oracle_colored_icp(src, src_int, tgt, tgt_nrm, tgt_int, max_corr, iters):
+    """Joint geometric+photometric Gauss-Newton to convergence, f64."""
+    g_tgt = color_gradients_oracle(tgt, tgt_nrm, tgt_int)
+    sl = np.sqrt(LAMBDA_GEOMETRIC)
+    si = np.sqrt(1.0 - LAMBDA_GEOMETRIC)
+    T = np.eye(4)
+    for _ in range(iters):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+        jx = np.argmin(d2, axis=1)
+        dmin = d2[np.arange(len(p)), jx]
+        m = dmin <= max_corr**2
+        pm, q, n = p[m], tgt[jx[m]], tgt_nrm[jx[m]]
+        gq, iq, ip_ = g_tgt[jx[m]], tgt_int[jx[m]], src_int[m]
+        r_g = np.sum((pm - q) * n, axis=1)
+        J_g = np.concatenate([n, np.cross(pm, n)], axis=1)
+        d_pl = r_g[:, None]
+        p_proj = pm - d_pl * n
+        r_i = iq + np.sum(gq * (p_proj - q), axis=1) - ip_
+        g_perp = gq - np.sum(gq * n, axis=1, keepdims=True) * n
+        J_i = np.concatenate([g_perp, np.cross(pm, g_perp)], axis=1)
+        J = np.concatenate([sl * J_g, si * J_i], axis=0)
+        r = np.concatenate([sl * r_g, si * r_i], axis=0)
+        A = J.T @ J + 1e-6 * np.eye(6)
+        dx = -np.linalg.solve(A, J.T @ r)
+        T = se3_exp_np(dx) @ T
+    p = src @ T[:3, :3].T + T[:3, 3]
+    d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+    dmin = d2.min(axis=1)
+    m = dmin <= max_corr**2
+    return T, float(m.mean()), float(np.sqrt(dmin[m].mean()))
+
+
+def gicp_covariances_oracle(pts, k=GICP_K, eps=GICP_EPS):
+    """kNN-PCA covariances with (eps, 1, 1) eigenvalues (Segal et al. /
+    Open3D TransformationEstimationForGeneralizedICP)."""
+    idx = knn_brute(pts, pts, k)
+    out = np.zeros((len(pts), 3, 3))
+    for i in range(len(pts)):
+        nb = pts[idx[i]]
+        c = nb - nb.mean(0)
+        C = c.T @ c / k
+        w, v = np.linalg.eigh(C)
+        out[i] = v @ np.diag([eps, 1.0, 1.0]) @ v.T
+    return out
+
+
+def oracle_gicp(src, tgt, max_corr, iters):
+    """Plane-to-plane (generalized) ICP Gauss-Newton to convergence, f64."""
+    C_src = gicp_covariances_oracle(src)
+    C_tgt = gicp_covariances_oracle(tgt)
+    T = np.eye(4)
+    for _ in range(iters):
+        R = T[:3, :3]
+        p = src @ R.T + T[:3, 3]
+        Cp = np.einsum("ij,njk,lk->nil", R, C_src, R)
+        d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+        jx = np.argmin(d2, axis=1)
+        dmin = d2[np.arange(len(p)), jx]
+        m = dmin <= max_corr**2
+        pm, q = p[m], tgt[jx[m]]
+        Minv = np.linalg.inv(C_tgt[jx[m]] + Cp[m] + 1e-9 * np.eye(3))
+        d = pm - q
+        A = np.zeros((6, 6))
+        b = np.zeros(6)
+        for i in range(len(pm)):
+            px, py, pz = pm[i]
+            skew = np.array([[0, -pz, py], [pz, 0, -px], [-py, px, 0]])
+            J = np.concatenate([np.eye(3), -skew], axis=1)   # [3, 6]
+            A += J.T @ Minv[i] @ J
+            b += J.T @ Minv[i] @ d[i]
+        dx = -np.linalg.solve(A + 1e-6 * np.eye(6), b)
+        T = se3_exp_np(dx) @ T
+    p = src @ T[:3, :3].T + T[:3, 3]
+    d2 = np.sum((p[:, None, :] - tgt[None, :, :]) ** 2, axis=2)
+    dmin = d2.min(axis=1)
+    m = dmin <= max_corr**2
+    return T, float(m.mean()), float(np.sqrt(dmin[m].mean()))
+
+
+def make_icp_variants_golden():
+    """Colored-ICP + GICP fixtures with NOISE (the optimum is a nontrivial
+    f64 quantity, not just T_true recovery)."""
+    rng = np.random.default_rng(23)
+    n = 300
+    xy = rng.uniform(-1, 1, size=(n, 2))
+    zz = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(1.5 * xy[:, 1])
+    tgt = np.concatenate([xy, zz[:, None]], axis=1)
+    dzdx = 0.6 * np.cos(2.0 * xy[:, 0])
+    dzdy = -0.3 * np.sin(1.5 * xy[:, 1])
+    nrm = np.stack([-dzdx, -dzdy, np.ones(n)], axis=1)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    # Smooth intensity field (equal RGB channels: intensity == channel value)
+    tgt_int = 0.5 + 0.25 * np.sin(3.0 * xy[:, 0]) * np.cos(2.0 * xy[:, 1])
+
+    th = 0.04
+    ax = np.array([0.2, 0.7, 0.68]); ax /= np.linalg.norm(ax)
+    Wx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    R_off = np.eye(3) + np.sin(th) * Wx + (1 - np.cos(th)) * (Wx @ Wx)
+    t_off = np.array([0.03, -0.02, 0.025])
+    src = tgt @ R_off.T + t_off
+    src = src + rng.normal(0, 0.004, src.shape)      # noise: optimum != T_true
+    src_int = tgt_int.copy()
+
+    # f32-quantize the committed inputs so production (f32) and oracle (f64)
+    # consume bit-identical point sets.
+    src = src.astype(np.float32).astype(np.float64)
+    tgt = tgt.astype(np.float32).astype(np.float64)
+    nrm = nrm.astype(np.float32).astype(np.float64)
+    tgt_int = tgt_int.astype(np.float32).astype(np.float64)
+    src_int = src_int.astype(np.float32).astype(np.float64)
+
+    max_corr, iters = 0.3, 50
+    T_c, f_c, r_c = oracle_colored_icp(src, src_int, tgt, nrm, tgt_int,
+                                       max_corr, iters)
+    T_g, f_g, r_g = oracle_gicp(src, tgt, max_corr, iters)
+    np.savez(
+        os.path.join(OUT_DIR, "golden_icp_variants.npz"),
+        source=src, target=tgt, target_normals=nrm,
+        source_intensity=src_int, target_intensity=tgt_int,
+        max_correspondence=max_corr, max_iteration=iters,
+        T_colored=T_c, fitness_colored=f_c, rmse_colored=r_c,
+        T_gicp=T_g, fitness_gicp=f_g, rmse_gicp=r_g,
+    )
+    print(f"golden_icp_variants.npz: colored fit {f_c:.4f} rmse {r_c:.2e}, "
+          f"gicp fit {f_g:.4f} rmse {r_g:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# Global-registration fixture (RANSAC with checkers + FGR): committed scene
+# with known T_true; the test asserts the recovered pose and re-derives the
+# reported fitness/inlier-RMSE with an f64 evaluator over the same
+# voxel-downsampled clouds (global_registration_util.py:48-80 semantics).
+# ---------------------------------------------------------------------------
+
+def make_global_golden():
+    rng = np.random.default_rng(31)
+    n = 4000
+    # A structured scene (two walls + floor + a sphere patch) so FPFH has
+    # geometry to latch onto — a single smooth sheet is feature-degenerate.
+    floor = np.stack([rng.uniform(-1, 1, n // 2), rng.uniform(-1, 1, n // 2),
+                      np.zeros(n // 2)], axis=1)
+    wall1 = np.stack([rng.uniform(-1, 1, n // 4), np.full(n // 4, -1.0),
+                      rng.uniform(0, 1, n // 4)], axis=1)
+    ph = rng.uniform(0, np.pi / 2, n // 4)
+    pt = rng.uniform(0, 2 * np.pi, n // 4)
+    sphere = 0.4 * np.stack(
+        [np.sin(ph) * np.cos(pt), np.sin(ph) * np.sin(pt), np.cos(ph)], axis=1
+    ) + np.array([0.4, 0.3, 0.0])
+    tgt = np.concatenate([floor, wall1, sphere], axis=0)
+    tgt += rng.normal(0, 0.003, tgt.shape)
+
+    th = 0.5   # large offset: global registration territory
+    ax = np.array([0.1, 0.2, 0.97]); ax /= np.linalg.norm(ax)
+    Wx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    R_off = np.eye(3) + np.sin(th) * Wx + (1 - np.cos(th)) * (Wx @ Wx)
+    t_off = np.array([0.4, -0.3, 0.2])
+    src = tgt @ R_off.T + t_off
+    T_true = np.eye(4)
+    T_true[:3, :3] = R_off.T
+    T_true[:3, 3] = -R_off.T @ t_off
+
+    src = src.astype(np.float32).astype(np.float64)
+    tgt = tgt.astype(np.float32).astype(np.float64)
+    np.savez(
+        os.path.join(OUT_DIR, "golden_global.npz"),
+        source=src, target=tgt, T_true=T_true,
+        voxel_size=0.1, max_correspondence=0.15,
+    )
+    print(f"golden_global.npz: {len(src)} pts, |t|={np.linalg.norm(t_off):.2f}"
+          f" theta={th}")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     make_raster_golden()
     make_icp_golden()
+    make_icp_variants_golden()
+    make_global_golden()

@@ -142,3 +142,48 @@ def test_voxel_downsample(rng):
     # Every output point must be the mean of its voxel: check centroid bounds.
     p = np.asarray(down.points)
     assert p.min() >= 0 and p.max() <= 1.0
+
+
+def test_icp_grid_matches_brute(rng):
+    """The grid-pruned correspondence path (27-cell candidate table) must
+    reproduce the brute-force sweep EXACTLY: identical pose, fitness, RMSE
+    (gated NN is exact under the gate — ops/knn.py grid_nn_plan)."""
+    n = 3000
+    tgt_pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    xi = jnp.asarray([0.01, -0.02, 0.01, 0.03, -0.02, 0.01])
+    T_off = se3.se3_exp(xi)
+    src = PointCloud(points=jnp.asarray(tgt_pts) @ T_off[:3, :3].T + T_off[:3, 3])
+    tgt = PointCloud(points=jnp.asarray(tgt_pts))
+    params = LocalRegistrationParams(max_correspondence=0.2, max_iteration=15,
+                                     relative_fitness=0.0, relative_rmse=0.0)
+    r_b = icp_ops.icp(src, tgt, params, correspondence="brute")
+    r_g = icp_ops.icp(src, tgt, params, correspondence="grid")
+    np.testing.assert_allclose(r_g.transformation, r_b.transformation,
+                               atol=1e-6)
+    assert r_g.fitness == r_b.fitness
+    np.testing.assert_allclose(r_g.inlier_rmse, r_b.inlier_rmse, rtol=1e-6)
+
+
+def test_grid_nn_boundary_cases(rng):
+    """Queries outside the grid, empty neighborhoods, duplicate points."""
+    from gaussiansplattingregistration_tpu.ops import knn
+
+    tgt = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    tgt[10] = tgt[11]                      # duplicates
+    gate = 0.08
+    plan = knn.grid_nn_plan(tgt, gate)
+    assert plan is not None
+    table, origin, inv_cell, (nx, ny, nz), w = plan
+    q = np.concatenate([
+        tgt[:100] + rng.normal(0, 0.01, (100, 3)).astype(np.float32),
+        np.array([[5.0, 5.0, 5.0], [-3.0, 0.5, 0.5]], np.float32),  # far out
+    ])
+    d2g, idxg = knn.grid_nearest_neighbor(
+        jnp.asarray(q), jnp.asarray(table), jnp.asarray(origin),
+        jnp.asarray(inv_cell), nx, ny, nz, w,
+    )
+    d2b, idxb = knn.nearest_neighbor(jnp.asarray(q), jnp.asarray(tgt))
+    d2g, d2b = np.asarray(d2g), np.asarray(d2b)
+    gated = d2b <= gate * gate
+    np.testing.assert_allclose(d2g[gated], d2b[gated], rtol=1e-5, atol=1e-12)
+    assert np.all(d2g[~gated] > gate * gate)   # far queries stay out of gate
