@@ -29,8 +29,11 @@ H100_FWD_BWD_PIXELS_PER_S = 2.5e8  # estimated gsplat fwd+bwd at 1M splats
 
 WIDTH, HEIGHT = 1280, 720
 N_SPLATS = 1_000_000
-WARMUP = 2
-ITERS = 8
+WARMUP = 3
+# Steady-state: wall/iter converges by ~12 dispatches (measured 72.3 ->
+# 61.6 ms/frame from 2 to 12 iters — per-dispatch tunnel overhead
+# amortizes); 16 keeps the tail flat.
+ITERS = 16
 
 
 def _log(msg):
@@ -93,14 +96,27 @@ def bench_raster():
     bg = jnp.zeros(3, jnp.float32)
 
     # Truncation/termination observability: the static bounds drop work
-    # (tile entries past K, gradient tails past the bwd cap). Before timing,
-    # (a) refuse any backward-cap gradient drop, and (b) quantify the forward
-    # truncation against an UNTRUNCATED oracle render (xla backend with K =
-    # the scene's max pre-truncation run) — the headline is only published if
-    # the truncated render is visually exact (PSNR >= 40 dB), i.e. every
-    # dropped entry sits behind the early-termination horizon.
+    # (tile entries past K, tiles past a splat's C coverage budget, gradient
+    # tails past the bwd cap). Before timing, (a) refuse any backward-cap
+    # gradient drop, and (b) quantify BOTH truncations against an
+    # untruncated oracle (xla backend, K = max pre-truncation run, C=8 so
+    # coverage clipping is absent too) over THREE orbit poses — the
+    # headline is only published if the MINIMUM per-view PSNR >= 40 dB.
     if backend == "pallas":
         import dataclasses as _dc
+
+        from gaussiansplattingregistration_tpu.ops import math3d as _m3
+
+        yaws = (0.0, 0.35, -0.35)
+        viewmats = []
+        for yaw in yaws:
+            R = np.asarray(
+                _m3.axis_angle_to_rotmat(
+                    jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray(yaw)
+                )
+            )
+            c2 = Camera.create(R, [0.0, 0.0, 3.0], f, f, WIDTH, HEIGHT)
+            viewmats.append(c2.viewmat)
 
         rgb_trunc, *_, stats = rasterize_arrays_with_stats(
             means_d, cov_d, op_d, feat_d, viewmat, intr,
@@ -112,27 +128,49 @@ def bench_raster():
             raise RuntimeError(
                 f"bench config drops gradients ({viol} tiles over the bwd cap)"
             )
-        k_exact = -(-int(stats["max_run"]) // 128) * 128
+        # Oracle shapes from the worst view's pre-truncation run length at
+        # the ORACLE's C=8 binning (build stats are K-independent).
+        probe_cfg = _dc.replace(config, backend="xla", max_tiles_per_splat=8,
+                                tile_chunk=4)
+        max_run = 0
+        for vm in viewmats:
+            _, _, _, s_v = rasterize_arrays_with_stats(
+                means_d, cov_d, op_d, feat_d, vm, intr,
+                WIDTH, HEIGHT, 0, bg, probe_cfg,
+            )
+            max_run = max(max_run, int(s_v["max_run"]))
+        k_exact = -(-max_run // 128) * 128
         oracle_cfg = _dc.replace(
-            config, backend="xla", max_splats_per_tile=k_exact,
-            tile_chunk=4, max_bwd_splats_per_tile=None,
+            config, backend="xla", max_tiles_per_splat=8,
+            max_splats_per_tile=k_exact, tile_chunk=4,
+            max_bwd_splats_per_tile=None,
         )
-        rgb_exact, _, _ = rasterize_arrays(
-            means_d, cov_d, op_d, feat_d, viewmat, intr,
-            WIDTH, HEIGHT, 0, bg, oracle_cfg,
-        )
-        mse = float(jnp.mean((rgb_trunc - rgb_exact) ** 2))
-        trunc_psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
-        _log(f"# truncation oracle: K_exact={k_exact} psnr_vs_exact="
-             f"{trunc_psnr:.2f} dB")
+        per_view = []
+        for yaw, vm in zip(yaws, viewmats):
+            rgb_t, _, _ = rasterize_arrays(
+                means_d, cov_d, op_d, feat_d, vm, intr,
+                WIDTH, HEIGHT, 0, bg, config,
+            )
+            rgb_e, _, _ = rasterize_arrays(
+                means_d, cov_d, op_d, feat_d, vm, intr,
+                WIDTH, HEIGHT, 0, bg, oracle_cfg,
+            )
+            mse = float(jnp.mean((rgb_t - rgb_e) ** 2))
+            psnr = 10.0 * math.log10(1.0 / max(mse, 1e-12))
+            per_view.append(round(psnr, 2))
+            _log(f"# truncation oracle: yaw={yaw:+.2f} K_exact={k_exact} "
+                 f"psnr_vs_exact={psnr:.2f} dB")
+        trunc_psnr = min(per_view)
         if trunc_psnr < 40.0:
             raise RuntimeError(
-                f"headline scene truncation is visible: {trunc_psnr:.1f} dB "
-                f"< 40 dB vs the K={k_exact} exact render; raise "
-                f"max_splats_per_tile or shrink the scene"
+                f"headline scene truncation is visible: min {trunc_psnr:.1f} "
+                f"dB < 40 dB vs the C=8/K={k_exact} exact render over "
+                f"{len(yaws)} poses; raise max_splats_per_tile or "
+                f"max_tiles_per_splat"
             )
         stats = {**{k: float(v) for k, v in stats.items()},
-                 "truncation_psnr_db": round(trunc_psnr, 2)}
+                 "truncation_psnr_db": trunc_psnr,
+                 "truncation_psnr_per_view_db": per_view}
     else:
         stats = None
 

@@ -299,6 +299,43 @@ def _make_cli_camera(args, aabb_center, aabb_extent):
     return cam.with_viewmat(np.asarray(viewmat, np.float32))
 
 
+def cmd_view(args):
+    """Interactive browser viewer (counterpart of the reference's
+    rasterization window; see pipelines/viewer.py)."""
+    import jax.numpy as jnp
+
+    from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig
+    from gaussiansplattingregistration_tpu.pipelines import viewer as viewer_mod
+    from gaussiansplattingregistration_tpu.utils import io as gio
+
+    cloud = gio.load_gaussian_cloud(args.input)
+    if args.second:
+        second = gio.load_gaussian_cloud(args.second)
+        T = _load_transform(args.transform)
+        cloud = cloud.merge(second, jnp.asarray(T, jnp.float32))
+    elif args.transform:
+        cloud = cloud.transform(
+            jnp.asarray(_load_transform(args.transform), jnp.float32)
+        )
+    config = RasterizeConfig(max_splats_per_tile=args.max_splats_per_tile,
+                             backend=args.backend)
+    server, scene = viewer_mod.serve(
+        cloud, host=args.host, port=args.port,
+        width=args.width, height=args.height, config=config,
+    )
+    host, port = server.server_address[:2]
+    print(f"viewer: http://{host}:{port}/  ({cloud.num_points} splats; "
+          f"Ctrl-C to stop)")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def cmd_render(args):
     import jax.numpy as jnp
 
@@ -545,6 +582,18 @@ def build_parser():
                     help="render N turntable frames around the scene")
     sp.add_argument("--depth-output", help="also save a normalized depth map PNG")
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("view", help="interactive browser viewer")
+    sp.add_argument("input")
+    sp.add_argument("--second")
+    sp.add_argument("--transform")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8765)
+    sp.add_argument("--width", type=int, default=960)
+    sp.add_argument("--height", type=int, default=720)
+    sp.add_argument("--max-splats-per-tile", type=int, default=256)
+    sp.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    sp.set_defaults(fn=cmd_view)
 
     sp = sub.add_parser("evaluate", help="photometric evaluation vs GT images")
     sp.add_argument("first")

@@ -225,21 +225,31 @@ def _icp_loop(
     relative_rmse,
     max_iteration,      # traced: one compile serves every iteration budget
     n_src_true,         # traced: true (pre-padding) source count
-    grid_table=None,    # [n_cells, W*4] candidate table (ops/knn.py) or None
+    n_tgt_true=None,    # traced: true (pre-padding) target count
     grid_origin=None,
     grid_inv_cell=None,
-    grid_dims=None,     # static (nx, ny, nz, W) — None selects brute force
+    grid_dims=None,     # static (nx, ny, nz, max_occ) — None = brute force
 ):
     max_d2 = max_correspondence * max_correspondence
+
+    if grid_dims is not None:
+        # Build the 27-cell candidate table ON DEVICE, once per call,
+        # amortized over every while_loop iteration below.
+        nx, ny, nz, max_occ = grid_dims
+        grid_w = 27 * max_occ
+        grid_table = knn_ops.build_grid_table(
+            tgt_points, n_tgt_true, grid_origin, grid_inv_cell,
+            nx, ny, nz, max_occ,
+        )
 
     def correspondences(T):
         p = src_points @ T[:3, :3].T + T[:3, 3]
         if grid_dims is not None:
             # Gated NN via the 27-cell candidate table: exact for every
             # in-gate match (the only ones the mask admits below).
-            nx, ny, nz, w = grid_dims
             d2, idx = knn_ops.grid_nearest_neighbor(
-                p, grid_table, grid_origin, grid_inv_cell, nx, ny, nz, w
+                p, grid_table, grid_origin, grid_inv_cell,
+                nx, ny, nz, grid_w,
             )
         else:
             d2, idx = knn_ops.nearest_neighbor(p, tgt_points)
@@ -383,14 +393,25 @@ def icp(
     # Grid-pruned correspondence plan (host-side; before any padding so the
     # table indexes the TRUE target rows).
     grid = None
+    # Threshold from the measured crossover (PERF.md): brute wins below
+    # ~25k^2 (the [Q]-row gather + table build overheads), grid wins above.
     want_grid = correspondence == "grid" or (
         correspondence == "auto"
-        and source.num_points * target.num_points >= 10_000_000
+        and source.num_points * target.num_points >= 500_000_000
     )
     if want_grid:
         grid = knn_ops.grid_nn_plan(
             np.asarray(target.points), float(params.max_correspondence)
         )
+        if (
+            grid is not None
+            and correspondence == "auto"
+            and 27 * grid[3] * 40 > target.num_points
+        ):
+            # The candidate width W is too close to N for the pruning to
+            # beat the brute sweep's fused [Q, N] reduce (measured
+            # crossover ~N/W >= 40): keep brute.
+            grid = None
 
     src_points, tgt_points = source.points, target.points
     n_src_true = src_points.shape[0]
@@ -407,12 +428,12 @@ def icp(
         tgt_cov_reg = _pad_rows(tgt_cov_reg, bt)
 
     if grid is not None:
-        g_table, g_origin, g_inv, (gnx, gny, gnz), gw = grid
+        g_origin, g_inv, (gnx, gny, gnz), g_occ = grid
         grid_kw = dict(
-            grid_table=jnp.asarray(g_table),
+            n_tgt_true=jnp.asarray(target.num_points, jnp.int32),
             grid_origin=jnp.asarray(g_origin),
             grid_inv_cell=jnp.asarray(g_inv),
-            grid_dims=(gnx, gny, gnz, gw),
+            grid_dims=(gnx, gny, gnz, g_occ),
         )
     else:
         grid_kw = {}

