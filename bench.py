@@ -249,13 +249,38 @@ def bench_icp():
     for _ in range(runs):
         res = icp_ops.icp(src, tgt, params)
     dt = (time.perf_counter() - t0) / runs
+
+    # Secondary: a volumetric 100k cloud with a realistic tight gate — the
+    # regime where the grid-pruned correspondence path engages (the bench
+    # scene above is a surface whose gate ~ bbox scale: auto keeps brute,
+    # see PERF.md "ICP correspondence"). Measured r4: 59 vs 27 iters/s.
+    from gaussiansplattingregistration_tpu.models.point_cloud import PointCloud
+    from gaussiansplattingregistration_tpu.ops import se3 as se3_ops
+    import jax.numpy as jnp
+
+    vol = rng.uniform(-1, 1, size=(100_000, 3)).astype(np.float32)
+    T_off = se3_ops.se3_exp(jnp.asarray([0.01, -0.02, 0.01, 0.03, -0.02, 0.01]))
+    src_v = PointCloud(points=jnp.asarray(vol) @ T_off[:3, :3].T + T_off[:3, 3])
+    tgt_v = PointCloud(points=jnp.asarray(vol))
+    params_v = LocalRegistrationParams(
+        max_correspondence=0.05, max_iteration=30,
+        relative_fitness=0.0, relative_rmse=0.0,
+    )
+    res_v = icp_ops.icp(src_v, tgt_v, params_v)
+    t0 = time.perf_counter()
+    res_v = icp_ops.icp(src_v, tgt_v, params_v)
+    dt_v = time.perf_counter() - t0
+
     return {
         "metric": "icp_p2p_iters_per_s_100k_pts",
         "value": round(res.num_iterations / dt, 2),
         "unit": "iters/s",
         "vs_baseline": None,
         "detail": {"fitness": res.fitness, "rmse": res.inlier_rmse,
-                   "iters": res.num_iterations, "wall_s": round(dt, 4)},
+                   "iters": res.num_iterations, "wall_s": round(dt, 4),
+                   "volumetric_grid_iters_per_s": round(
+                       res_v.num_iterations / dt_v, 2),
+                   "volumetric_fitness": res_v.fitness},
     }
 
 
