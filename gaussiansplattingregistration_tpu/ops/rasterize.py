@@ -509,7 +509,7 @@ def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd):
     return out, (table, sorted_entry, dest, packed.shape[0])
 
 
-def _land_rows(R2, pos0, cnt, n, C, F, block=32):
+def _land_rows(R2, pos0, cnt, n, C, F, block=64):
     """d_packed[n] = sum of rows [pos0[n], pos0[n] + cnt[n]) — each splat's
     live cotangent rows are CONSECUTIVE in the sorted stream — via windowed
     multi-hot MXU dots (the run selector folds the <= C rows of one splat in
