@@ -338,7 +338,7 @@ def bench_hem_multiscale():
     from gaussiansplattingregistration_tpu.pipelines.multiscale import (
         multiscale_mixture_registration,
     )
-    from tests.conftest import make_random_cloud
+    from tests.scene_utils import make_random_cloud
 
     rng = np.random.default_rng(3)
     n = 200_000
@@ -419,7 +419,7 @@ def bench_photometric():
     from gaussiansplattingregistration_tpu.models.camera import Camera
     from gaussiansplattingregistration_tpu.ops.rasterize import RasterizeConfig
     from gaussiansplattingregistration_tpu.pipelines import photometric
-    from tests.conftest import make_random_cloud
+    from tests.scene_utils import make_random_cloud
 
     rng = np.random.default_rng(4)
     cloud = make_random_cloud(rng, n=100_000, sh_degree=1,

@@ -30,23 +30,9 @@ def rng():
     return np.random.default_rng(42)
 
 
-def make_random_cloud(rng, n=64, sh_degree=2, scale_range=(0.01, 0.1)):
-    """Synthetic GaussianCloud for tests."""
-    import jax.numpy as jnp
-
-    from gaussiansplattingregistration_tpu.models.gaussian_cloud import GaussianCloud
-
-    k_rest = (sh_degree + 1) ** 2 - 1
-    quats = rng.normal(size=(n, 4))
-    return GaussianCloud.create(
-        xyz=rng.normal(size=(n, 3)).astype(np.float32),
-        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.5,
-        features_rest=rng.normal(size=(n, k_rest, 3)).astype(np.float32) * 0.1,
-        opacity=rng.normal(size=(n, 1)).astype(np.float32),
-        scaling=np.log(rng.uniform(*scale_range, size=(n, 3))).astype(np.float32),
-        rotation=quats.astype(np.float32),
-        sh_degree=sh_degree,
-    )
+# Re-exported from the side-effect-free module (benchmarks import it from
+# tests.scene_utils directly — importing THIS module flips jax to CPU).
+from tests.scene_utils import make_random_cloud  # noqa: E402,F401
 
 
 @pytest.fixture
