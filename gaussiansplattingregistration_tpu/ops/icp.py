@@ -238,7 +238,9 @@ def _icp_loop(
         nx, ny, nz, max_occ = grid_dims
         grid_w = 27 * max_occ
         grid_table = knn_ops.build_grid_table(
-            tgt_points, n_tgt_true, grid_origin, grid_inv_cell,
+            tgt_points,
+            jnp.arange(tgt_points.shape[0]) < n_tgt_true,
+            grid_origin, grid_inv_cell,
             nx, ny, nz, max_occ,
         )
 

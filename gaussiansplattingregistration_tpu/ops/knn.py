@@ -202,8 +202,8 @@ def grid_nn_plan(
     jax.jit, static_argnames=("nx", "ny", "nz", "max_occ")
 )
 def build_grid_table(
-    points: jax.Array,      # [M, 3] (may include padding rows past n_true)
-    n_true,                 # traced scalar: rows past it are ignored
+    points: jax.Array,      # [M, 3] (may include padding/dead rows)
+    valid: jax.Array,       # [M] bool: rows to index (padding/dead = False)
     origin: jax.Array,
     inv_cell: jax.Array,
     nx: int, ny: int, nz: int, max_occ: int,
@@ -226,8 +226,8 @@ def build_grid_table(
     cy = jnp.clip(c[:, 1], 0, ny - 1)
     cz = jnp.clip(c[:, 2], 0, nz - 1)
     cid = (cz * ny + cy) * nx + cx
-    # Padding rows -> sentinel cell n_cells: they sort past every real run.
-    cid = jnp.where(jnp.arange(m) < n_true, cid, n_cells)
+    # Invalid rows -> sentinel cell n_cells: they sort past every real run.
+    cid = jnp.where(valid, cid, n_cells)
     sorted_cid, order = jax.lax.sort(
         (cid, jnp.arange(m, dtype=jnp.int32)), num_keys=2, is_stable=False
     )
@@ -323,3 +323,55 @@ def grid_nearest_neighbor(
 
     d2s, idxs = jax.lax.map(one_block, blocks)
     return d2s.reshape(-1)[:n_query], idxs.reshape(-1)[:n_query]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def grid_topk(
+    query: jax.Array,       # [Q, 3]
+    table: jax.Array,       # [n_cells(+pad), W*4] from build_grid_table
+    origin: jax.Array,      # [3]
+    inv_cell: jax.Array,    # scalar
+    dims: jax.Array,        # [3] i32 (nx, ny, nz) — TRACED: callers whose
+                            # table SHAPES match share one executable (the
+                            # HEM pyramid recompile killer)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest candidates from each query's 27-cell neighborhood.
+
+    Returns (sq_distances [Q, k], indices [Q, k]), both ordered nearest
+    first. Exact for every neighbor within the plan's cell size: slots past
+    a window's population carry d2 ~ 1e18 and index 0 — callers gate by
+    radius (`d2 <= r^2`), which masks them. The counterpart of
+    `PointIndex::annSearch` (/root/reference/src/cpp_ext/src/pointindex.cpp
+    :110-118): radius search + sort + truncate to k."""
+    n_query = query.shape[0]
+    w = table.shape[1] // 4
+    nx = dims[0]
+    ny = dims[1]
+    nz = dims[2]
+    cap = max(1024, ((256 << 20) // (w * 16)) // 1024 * 1024)
+    n_blocks = -(-n_query // cap)
+    block = max(1024, -(-(-(-n_query // n_blocks)) // 1024) * 1024)
+    pad = (-n_query) % block
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    blocks = qp.reshape(-1, block, 3)
+
+    def one_block(qb):
+        c = jnp.floor((qb - origin[None, :]) * inv_cell).astype(jnp.int32)
+        cx = jnp.clip(c[:, 0], 0, nx - 1)
+        cy = jnp.clip(c[:, 1], 0, ny - 1)
+        cz = jnp.clip(c[:, 2], 0, nz - 1)
+        cid = (cz * ny + cy) * nx + cx
+        rows = table[cid]                              # [B, W*4] row gather
+        cand = rows.reshape(qb.shape[0], w, 4)
+        diff = cand[:, :, 0:3] - qb[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)             # [B, W]
+        neg, j = jax.lax.top_k(-d2, k)                 # nearest first
+        idx = jnp.take_along_axis(cand[:, :, 3], j, axis=1)
+        return -neg, jnp.maximum(idx, 0.0).astype(jnp.int32)
+
+    d2s, idxs = jax.lax.map(one_block, blocks)
+    return (
+        d2s.reshape(-1, k)[:n_query],
+        idxs.reshape(-1, k)[:n_query],
+    )

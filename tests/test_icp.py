@@ -176,7 +176,7 @@ def test_grid_nn_boundary_cases(rng):
     origin, inv_cell, (nx, ny, nz), max_occ = plan
     w = 27 * max_occ
     table = knn.build_grid_table(
-        jnp.asarray(tgt), jnp.asarray(len(tgt), jnp.int32),
+        jnp.asarray(tgt), jnp.ones(len(tgt), bool),
         jnp.asarray(origin), jnp.asarray(inv_cell), nx, ny, nz, max_occ,
     )
     q = np.concatenate([
@@ -192,3 +192,39 @@ def test_grid_nn_boundary_cases(rng):
     gated = d2b <= gate * gate
     np.testing.assert_allclose(d2g[gated], d2b[gated], rtol=1e-5, atol=1e-12)
     assert np.all(d2g[~gated] > gate * gate)   # far queries stay out of gate
+
+
+def test_grid_topk_matches_brute_within_radius(rng):
+    """grid_topk == brute kNN on the in-radius neighbor set (the only set
+    HEM's eligibility gates admit), incl. queries with sparse windows."""
+    from gaussiansplattingregistration_tpu.ops import knn
+
+    n = 2000
+    pts = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    r = 0.12
+    plan = knn.grid_nn_plan(pts, r)
+    assert plan is not None
+    origin, inv_cell, (nx, ny, nz), max_occ = plan
+    table = knn.build_grid_table(
+        jnp.asarray(pts), jnp.ones(n, bool), jnp.asarray(origin),
+        jnp.asarray(inv_cell), nx, ny, nz, max_occ,
+    )
+    k = 8
+    d2g, idxg = knn.grid_topk(
+        jnp.asarray(pts), table, jnp.asarray(origin), jnp.asarray(inv_cell),
+        jnp.asarray([nx, ny, nz], jnp.int32), k,
+    )
+    d2b, idxb = knn.knn(jnp.asarray(pts), jnp.asarray(pts), k=k)
+    d2g, idxg = np.asarray(d2g), np.asarray(idxg)
+    d2b, idxb = np.asarray(d2b), np.asarray(idxb)
+    for i in range(n):
+        want = {int(j) for j, d in zip(idxb[i], d2b[i]) if d <= r * r}
+        got = {int(j) for j, d in zip(idxg[i], d2g[i]) if d <= r * r}
+        assert want == got, (i, want, got)
+    # distances agree where gated
+    mb = d2b <= r * r
+    np.testing.assert_allclose(
+        np.sort(np.where(mb, d2b, np.inf), axis=1)[:, :3],
+        np.sort(np.where(d2g <= r * r, d2g, np.inf), axis=1)[:, :3],
+        rtol=1e-5, atol=1e-12,
+    )
