@@ -155,7 +155,9 @@ def init_mixture(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_children", "with_stats"))
+@functools.partial(
+    jax.jit, static_argnames=("max_children", "with_stats", "use_grid")
+)
 def hem_cluster_level(
     key: jax.Array,
     state: MixtureState,
@@ -165,11 +167,26 @@ def hem_cluster_level(
     decay_rate: float,
     max_children: int = 32,
     with_stats: bool = False,
+    use_grid: bool = False,
+    grid_table=None,       # [n_cells(+pad), W*4] (knn_ops.build_grid_table)
+    grid_origin=None,
+    grid_inv_cell=None,
+    grid_dims=None,        # [3] i32 TRACED — levels with equal table shapes
+                           # share one executable
 ):
     """One HEM clustering round (`createClusterLevel`, `mixture.cpp:66-285`).
 
     Slot semantics: parent slots receive the merged component, orphan slots
     pass through, all other slots die. Output shape equals input shape.
+
+    Candidate children per parent come from either a global fixed-K nearest
+    neighbor sweep (use_grid=False) or, when the caller planned a 27-cell
+    candidate table with cell >= every parent's query radius
+    (`create_mixture` does), the k nearest WITHIN the parent's 3x3x3 cell
+    window (use_grid=True) — the direct analogue of the reference's
+    radius-search + truncate (`pointindex.cpp:110-118`), and the closer of
+    the two to its semantics: a window top-k can never lose an in-radius
+    child to an out-of-radius one the way a global top-k can.
 
     With `with_stats`, returns (state, stats) where stats counts the fixed-K
     truncation this op trades for the reference's unbounded radius search
@@ -185,9 +202,17 @@ def hem_cluster_level(
     child_alive = state.alive
 
     # --- candidate children per parent: fixed-K nearest neighbors ----------
-    # Push dead points far away so they never enter a neighborhood.
-    far = jnp.where(child_alive[:, None], state.mean, 1e12)
-    d2, idx = knn_ops.knn(state.mean, far, k=k)              # [N, K]
+    if use_grid:
+        # Dead points were excluded from the table by the caller's valid
+        # mask; empty slots carry d2 ~ 1e18 and fail the radius gate below.
+        d2, idx = knn_ops.grid_topk(
+            state.mean, grid_table, grid_origin, grid_inv_cell,
+            grid_dims, k,
+        )                                                    # [N, K]
+    else:
+        # Push dead points far away so they never enter a neighborhood.
+        far = jnp.where(child_alive[:, None], state.mean, 1e12)
+        d2, idx = knn_ops.knn(state.mean, far, k=k)          # [N, K]
     query_radius = distance_delta * jnp.sqrt(
         jnp.maximum(_max_eigenvalue6(state.cov), 0.0)
     )                                                         # [N]
@@ -352,6 +377,7 @@ def create_mixture(
     max_children: int = 32,
     backend: str = "jax",
     with_stats: bool = False,
+    neighbor_search: str = "auto",
 ):
     """Run `cluster_level` HEM rounds over a GaussianCloud.
 
@@ -383,8 +409,46 @@ def create_mixture(
     )
     levels = []
     all_stats = []
+    # Grid candidate tables beat the [N, N] kNN sweep once N is large (the
+    # sweep's lax.top_k dominates t_hem at bench scale); shapes are padded
+    # so the level pyramid shares one hem_cluster_level executable whenever
+    # the padded table shapes coincide.
+    if neighbor_search not in ("auto", "grid", "global"):
+        raise ValueError(f"unknown neighbor_search {neighbor_search!r}")
+    grid_shape = None   # (rows_pad, w_pad) sticky across levels
+    want_grid = neighbor_search == "grid" or (
+        neighbor_search == "auto" and cloud.num_points >= 10_000
+    )
     for _ in range(params.cluster_level):
         key, sub = jax.random.split(key)
+        grid_kw = {}
+        if want_grid:
+            plan = _plan_level_grid(state, float(params.distance_delta))
+            if plan is not None:
+                origin, inv_cell, dims, max_occ = plan
+                table = knn_ops.build_grid_table(
+                    state.mean, state.alive, jnp.asarray(origin),
+                    jnp.asarray(inv_cell),
+                    dims[0], dims[1], dims[2], max_occ,
+                )
+                rows = table.shape[0]
+                w4 = table.shape[1]
+                if grid_shape is not None and (
+                    rows <= grid_shape[0] and w4 <= grid_shape[1]
+                ):
+                    rows_pad, w_pad = grid_shape
+                else:
+                    rows_pad = 1 << (rows - 1).bit_length()
+                    w_pad = 1 << (w4 - 1).bit_length()
+                    grid_shape = (rows_pad, w_pad)
+                table = _pad_grid_table(table, rows_pad, w_pad)
+                grid_kw = dict(
+                    use_grid=True,
+                    grid_table=table,
+                    grid_origin=jnp.asarray(origin),
+                    grid_inv_cell=jnp.asarray(inv_cell),
+                    grid_dims=jnp.asarray(dims, jnp.int32),
+                )
         out = hem_cluster_level(
             sub, state,
             float(params.hem_reduction),
@@ -393,6 +457,7 @@ def create_mixture(
             float(params.decay_rate),
             max_children=max_children,
             with_stats=with_stats,
+            **grid_kw,
         )
         if with_stats:
             state, stats = out
@@ -401,6 +466,46 @@ def create_mixture(
             state = out
         levels.append(_compact(state))
     return (levels, all_stats) if with_stats else levels
+
+
+def _plan_level_grid(state: "MixtureState", distance_delta: float):
+    """Host-side grid plan for one HEM level: cell >= the LARGEST alive
+    parent's query radius so every parent's radius ball fits its 27-cell
+    window. None -> the global-kNN fallback."""
+    alive = np.asarray(state.alive)
+    parents = np.asarray(state.is_parent) & alive
+    if not parents.any() or not alive.any():
+        return None
+    radius = np.asarray(
+        distance_delta
+        * jnp.sqrt(jnp.maximum(_max_eigenvalue6(state.cov), 0.0))
+    )
+    rmax = float(radius[parents].max())
+    if not np.isfinite(rmax) or rmax <= 0:
+        return None
+    means = np.asarray(state.mean)[alive]
+    plan = knn_ops.grid_nn_plan(means, rmax, max_w=4096)
+    return plan
+
+
+def _pad_grid_table(table: jax.Array, rows_pad: int, w_pad: int) -> jax.Array:
+    """Pad a candidate table to (rows_pad, w_pad) so level shapes coincide.
+    Row padding is never indexed (cell ids stay < the true cell count);
+    column padding must be EMPTY slots — (far, far, far, -1) — so the extra
+    candidates always fail the radius gate."""
+    rows, w4 = table.shape
+    if w_pad > w4:
+        n_slots = (w_pad - w4) // 4
+        empty = jnp.tile(
+            jnp.asarray(
+                [knn_ops._GRID_PAD_COORD] * 3 + [-1.0], jnp.float32
+            ),
+            (rows, n_slots),
+        )
+        table = jnp.concatenate([table, empty], axis=1)
+    if rows_pad > rows:
+        table = jnp.pad(table, ((0, rows_pad - rows), (0, 0)))
+    return table
 
 
 def _initial_nvar(cov6: np.ndarray) -> np.ndarray:

@@ -62,7 +62,11 @@ def knn(
     blocks = qp.reshape(-1, block_size, query.shape[1])
 
     def one_block(qb):
-        d2 = _pairwise_sqdist(qb, data)
+        # MATERIALIZE the distance tile before top_k: XLA otherwise fuses
+        # the distance expression INTO its multi-pass top-k selection and
+        # re-evaluates it ~k times (profiled 23 ms/block at [1024, 200k]
+        # k=32 fused vs ~2 ms materialized — 4.6 of HEM's 5.6 s/level).
+        d2 = jax.lax.optimization_barrier(_pairwise_sqdist(qb, data))
         neg, idx = jax.lax.top_k(-d2, k)
         return -neg, idx
 

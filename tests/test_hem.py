@@ -104,3 +104,53 @@ def test_hem_deterministic_with_seed(rng):
     l2 = hem.create_mixture(cloud, GaussianMixtureParams(cluster_level=2), seed=7)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(a.xyz, b.xyz)
+
+
+def test_hem_grid_neighbor_search_matches_global(rng):
+    """The 27-cell grid candidate path must reproduce the global fixed-K
+    path closely on a uniform scene (the grid keeps >= as many in-radius
+    children, so small deviations toward the exact radius-search semantics
+    are allowed; wholesale divergence is not)."""
+    import dataclasses as dc
+
+    import gaussiansplattingregistration_tpu.ops.knn as knn_ops
+    from gaussiansplattingregistration_tpu.models.parameters import (
+        GaussianMixtureParams,
+    )
+
+    n = 12_000
+    cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.02, 0.05))
+    xyz = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    cloud = dc.replace(cloud, xyz=jnp.asarray(xyz))
+    cloud = dc.replace(
+        cloud,
+        covariance=math3d.covariance_from_scaling_rotation(
+            cloud.get_scaling, cloud.get_rotation
+        ),
+    )
+    params = GaussianMixtureParams(cluster_level=2)
+
+    calls = []
+    orig = knn_ops.grid_topk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    knn_ops.grid_topk = spy
+    try:
+        lv_grid = hem.create_mixture(cloud, params, seed=0,
+                                     neighbor_search="grid")
+    finally:
+        knn_ops.grid_topk = orig
+    assert calls, "grid path did not engage (plan declined?)"
+    lv_glob = hem.create_mixture(cloud, params, seed=0,
+                                 neighbor_search="global")
+    for g, b in zip(lv_grid, lv_glob):
+        sg, sb = g.xyz.shape[0], b.xyz.shape[0]
+        assert abs(sg - sb) <= max(0.02 * sb, 5), (sg, sb)
+        np.testing.assert_allclose(
+            np.mean(np.asarray(g.xyz), axis=0),
+            np.mean(np.asarray(b.xyz), axis=0),
+            rtol=0, atol=0.05,
+        )
