@@ -120,9 +120,29 @@ def _trace_product6(inv_p: jax.Array, cov_c: jax.Array) -> jax.Array:
 
 
 def _max_eigenvalue6(cov6: jax.Array) -> jax.Array:
-    """Largest eigenvalue of packed symmetric 3x3 (via eigh on unpacked)."""
-    vals = jnp.linalg.eigvalsh(math3d.unpack_symmetric(cov6))
-    return vals[..., -1]
+    """Largest eigenvalue of packed symmetric 3x3, closed form.
+
+    The trigonometric solution of the characteristic cubic (same formula as
+    the native path, `native/hem.cpp:92-106`, and the reference's
+    `vec.hpp:736-768`): pure VPU elementwise math. `jnp.linalg.eigvalsh`
+    here was a 603 ms/level LAPACK-style custom call at 200k points."""
+    a, b, c, d, e, f = (cov6[..., i] for i in range(6))
+    q = (a + d + f) / 3.0
+    p1 = b * b + c * c + e * e
+    aq, dq, fq = a - q, d - q, f - q
+    p2 = aq * aq + dq * dq + fq * fq + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, 1e-30)
+    # det((A - q I) / p) / 2 via the packed determinant of the shifted matrix
+    det_b = (
+        aq * (dq * fq - e * e)
+        - b * (b * fq - c * e)
+        + c * (b * e - c * dq)
+    ) / (safe_p * safe_p * safe_p)
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam = q + 2.0 * p * jnp.cos(phi)
+    return jnp.where(p2 <= 1e-30, q, lam)
 
 
 def init_mixture(
@@ -156,7 +176,10 @@ def init_mixture(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_children", "with_stats", "use_grid")
+    jax.jit,
+    static_argnames=(
+        "max_children", "with_stats", "use_grid", "max_parent_slots"
+    ),
 )
 def hem_cluster_level(
     key: jax.Array,
@@ -173,6 +196,8 @@ def hem_cluster_level(
     grid_inv_cell=None,
     grid_dims=None,        # [3] i32 TRACED — levels with equal table shapes
                            # share one executable
+    max_parent_slots: Optional[int] = None,  # static: candidate-search query
+                           # budget — see the compaction note in the body
 ):
     """One HEM clustering round (`createClusterLevel`, `mixture.cpp:66-285`).
 
@@ -202,17 +227,50 @@ def hem_cluster_level(
     child_alive = state.alive
 
     # --- candidate children per parent: fixed-K nearest neighbors ----------
-    if use_grid:
-        # Dead points were excluded from the table by the caller's valid
-        # mask; empty slots carry d2 ~ 1e18 and fail the radius gate below.
-        d2, idx = knn_ops.grid_topk(
-            state.mean, grid_table, grid_origin, grid_inv_cell,
-            grid_dims, k,
-        )                                                    # [N, K]
-    else:
+    # PARENT COMPACTION: only parent rows consume their candidate lists
+    # (eligibility is gated on parent_mask; children receive responsibility
+    # through the scatter over idx), yet the search runs for every row. With
+    # `max_parent_slots` (static, ~N/reduction + margin from the caller) the
+    # queries are compacted parents-first via one [N] flag sort, searched at
+    # the budget, and row-gathered back — the selection is the level's
+    # dominant cost (profiled 23 ms per [1024, 200k] top-32 block, ~4.6 of
+    # 5.6 s/level), so a 1/reduction query budget is a ~reduction-fold cut.
+    # Parents past the budget (Binomial tail; counted in stats as
+    # `parent_overflow`) get no candidates and pass through as orphans.
+    def _search(queries):
+        if use_grid:
+            # Dead points were excluded from the table by the caller's
+            # valid mask; empty slots fail the radius gate below.
+            return knn_ops.grid_topk(
+                queries, grid_table, grid_origin, grid_inv_cell,
+                grid_dims, k,
+            )
         # Push dead points far away so they never enter a neighborhood.
         far = jnp.where(child_alive[:, None], state.mean, 1e12)
-        d2, idx = knn_ops.knn(state.mean, far, k=k)          # [N, K]
+        return knn_ops.knn(queries, far, k=k)
+
+    if max_parent_slots is None or max_parent_slots >= n:
+        d2, idx = _search(state.mean)                        # [N, K]
+        parent_overflow = jnp.zeros((), jnp.int32)
+    else:
+        n_p = max_parent_slots
+        flag = jnp.where(parent_mask, 0, 1).astype(jnp.int32)
+        _, order = jax.lax.sort(
+            (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=2,
+            is_stable=False,
+        )                                                    # parents first
+        d2p, idxp = _search(state.mean[order[:n_p]])         # [n_p, K]
+        _, inv = jax.lax.sort(
+            (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=False,
+        )                                                    # rank per row
+        in_budget = inv < n_p
+        safe = jnp.clip(inv, 0, n_p - 1)
+        d2 = jnp.where(in_budget[:, None], d2p[safe], jnp.inf)
+        idx = jnp.where(in_budget[:, None], idxp[safe], 0)
+        parent_overflow = jnp.sum(
+            parent_mask & ~in_budget
+        ).astype(jnp.int32)
     query_radius = distance_delta * jnp.sqrt(
         jnp.maximum(_max_eigenvalue6(state.cov), 0.0)
     )                                                         # [N]
@@ -351,6 +409,8 @@ def hem_cluster_level(
             parent_mask & in_radius[:, -1] & c_alive[:, -1]
         ).astype(jnp.int32),
         "parents": jnp.sum(parent_mask).astype(jnp.int32),
+        # parents beyond the compaction budget (searchless -> orphaned)
+        "parent_overflow": parent_overflow,
         "merged": jnp.sum(merged_ok).astype(jnp.int32),
         "orphans": jnp.sum(orphan).astype(jnp.int32),
         "alive": jnp.sum(alive).astype(jnp.int32),
@@ -449,6 +509,12 @@ def create_mixture(
                     grid_inv_cell=jnp.asarray(inv_cell),
                     grid_dims=jnp.asarray(dims, jnp.int32),
                 )
+        # Parent-compaction budget: ~N/reduction parents + a Binomial-tail
+        # margin, rounded to the knn block size. Only pays off when the
+        # budget actually cuts query blocks.
+        n_slots = cloud.num_points
+        budget = int(n_slots / max(float(params.hem_reduction), 1.01) * 1.15)
+        budget = min(n_slots, -(-(budget + 256) // 1024) * 1024)
         out = hem_cluster_level(
             sub, state,
             float(params.hem_reduction),
@@ -457,6 +523,7 @@ def create_mixture(
             float(params.decay_rate),
             max_children=max_children,
             with_stats=with_stats,
+            max_parent_slots=budget if budget < n_slots else None,
             **grid_kw,
         )
         if with_stats:
