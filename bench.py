@@ -470,8 +470,21 @@ def main():
                 extras.append({"metric": fn.__name__, "error": repr(e)})
             _log(json.dumps(extras[-1]))
         try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_EXTRA.json"), "w") as fh:
+            # Round-stamped secondaries: the driver runs bench AFTER the
+            # end-of-round commit, so writing a fixed path perpetually
+            # dirtied the committed copy (VERDICT r4 weak #7). Stamp with
+            # round = max existing BENCH_rNN.json + 1.
+            import glob as _glob
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            rounds = [
+                int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+            ]
+            stamp = (max(rounds) + 1) if rounds else 0
+            path = os.path.join(here, f"BENCH_EXTRA_r{stamp:02d}.json")
+            with open(path, "w") as fh:
                 json.dump({"headline": headline, "secondary": extras}, fh,
                           indent=1)
         except OSError:

@@ -401,8 +401,11 @@ def cmd_render(args):
 
 
 def cmd_evaluate(args):
+    import jax
+
     from gaussiansplattingregistration_tpu.pipelines.evaluation import (
         evaluate_registration,
+        evaluate_registration_sharded,
         load_cameras_json,
     )
     from gaussiansplattingregistration_tpu.utils import io as gio
@@ -412,10 +415,20 @@ def cmd_evaluate(args):
     T = _load_transform(args.transform)
     cameras = load_cameras_json(args.cameras)
     bg = [float(v) for v in args.background.split(",")]
-    result = evaluate_registration(
-        first, second, T, cameras, args.images_path,
-        background=bg, log_path=args.log, use_lpips=not args.no_lpips,
+    sharded = (
+        args.sharded == "on"
+        or (args.sharded == "auto" and len(jax.devices()) > 1)
     )
+    if sharded:
+        result = evaluate_registration_sharded(
+            first, second, T, cameras, args.images_path,
+            background=bg, log_path=args.log,
+        )
+    else:
+        result = evaluate_registration(
+            first, second, T, cameras, args.images_path,
+            background=bg, log_path=args.log, use_lpips=not args.no_lpips,
+        )
     print(json.dumps(result.as_log_dict()))
 
 
@@ -604,6 +617,10 @@ def build_parser():
     sp.add_argument("--log")
     sp.add_argument("--background", default="0,0,0")
     sp.add_argument("--no-lpips", action="store_true")
+    sp.add_argument("--sharded", default="auto", choices=["auto", "on", "off"],
+                    help="camera-sharded data-parallel evaluation over the "
+                         "device mesh (auto: when >1 device; no LPIPS / "
+                         "per-camera breakdown on this path)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("merge", help="merge two clouds under a transform")

@@ -187,15 +187,27 @@ class Camera:
         return dataclasses.replace(self, position=new_pos)
 
 
-def look_at(eye, lookat, up, zoom: float = 1.0) -> jax.Array:
+def look_at(eye, lookat, up, zoom: float = 1.0, forward: str = "-z") -> jax.Array:
     """Build a 4x4 view matrix (counterpart of `look_at`,
-    `/root/reference/src/utils/math_util.py:58-85`)."""
+    `/root/reference/src/utils/math_util.py:58-85`).
+
+    forward="-z" reproduces the reference exactly (OpenGL-style: the camera
+    looks along its NEGATIVE z axis — the convention of the Open3D viewer
+    the reference wrote it for). The rasterizer (`ops/rasterize.py`) uses
+    the +z-forward COLMAP/3DGS convention and culls z <= near, so cameras
+    built for it need forward="+z" (same axes as the CLI's camera builder,
+    `cli/main.py _make_cli_camera`)."""
     eye = jnp.asarray(eye, jnp.float32)
     lookat = jnp.asarray(lookat, jnp.float32)
     up = jnp.asarray(up, jnp.float32)
     front = math3d.normalize(lookat - eye)
     eye = lookat - front * zoom
-    z_axis = math3d.normalize(eye - lookat)
+    if forward == "+z":
+        z_axis = front
+    elif forward == "-z":
+        z_axis = -front
+    else:
+        raise ValueError(f"forward must be '+z' or '-z', got {forward!r}")
     x_axis = math3d.normalize(jnp.cross(up, z_axis))
     y_axis = jnp.cross(z_axis, x_axis)
     R = jnp.stack([x_axis, y_axis, z_axis])

@@ -76,29 +76,35 @@ def evaluate_images_sharded(
             return m, s
 
         mses, ssims = jax.lax.map(per_cam, (viewmats_l, intrinsics_l, targets_l))
-        msum = jax.lax.psum(jnp.sum(mses * mask_l), "data")
-        ssum = jax.lax.psum(jnp.sum(ssims * mask_l), "data")
+        # PSNR/RMSE are per-image, THEN averaged (the reference accumulates
+        # per-image metrics, qt_evaluator.py:89-103) — not derived from the
+        # mean MSE.
+        rmses = jnp.sqrt(mses)
+        psnrs = -20.0 * jnp.log10(jnp.maximum(rmses, 1e-9))
         count = jax.lax.psum(jnp.sum(mask_l), "data")
-        return msum / count, ssum / count
+        sums = [
+            jax.lax.psum(jnp.sum(v * mask_l), "data") / count
+            for v in (mses, rmses, psnrs, ssims)
+        ]
+        return tuple(sums)
 
     fn = jax.jit(
         jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"), P(), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    mse, ssim = fn(
+    mse, rmse, psnr, ssim = fn(
         viewmats, intrinsics, targets, mask,
         cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
         cloud.get_features,
     )
-    mse_f = float(mse)
     return {
-        "mse": mse_f,
-        "rmse": float(np.sqrt(mse_f)),
-        "psnr": float(20.0 * np.log10(1.0 / max(np.sqrt(mse_f), 1e-9))),
+        "mse": float(mse),
+        "rmse": float(rmse),
+        "psnr": float(psnr),
         "ssim": float(ssim),
     }

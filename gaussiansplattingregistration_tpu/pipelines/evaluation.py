@@ -145,3 +145,85 @@ def evaluate_registration(
         with open(log_path, "w") as f:
             json.dump(result.as_log_dict(registration_data), f, indent=2)
     return result
+
+
+def evaluate_registration_sharded(
+    cloud_first: GaussianCloud,
+    cloud_second: GaussianCloud,
+    transformation,
+    cameras: Sequence[Camera],
+    images_path: str,
+    background=(0.0, 0.0, 0.0),
+    log_path: Optional[str] = None,
+    registration_data: Optional[dict] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+    mesh=None,
+) -> EvaluationResult:
+    """Camera-sharded (data-parallel) evaluation over the device mesh.
+
+    The TPU-native form of the reference's per-camera loop
+    (`qt_evaluator.py:59-97`): every device renders + scores its slice of
+    the camera batch (parallel/sharded_eval.py), aggregate means reduce with
+    one psum. Cameras whose GT image is missing or whose resolution differs
+    from the (single, shared) batch resolution land in `error_list` exactly
+    like the loop path. LPIPS and the per-camera breakdown are not computed
+    here — use `evaluate_registration` when those are needed.
+    """
+    from gaussiansplattingregistration_tpu.parallel import mesh as mesh_mod
+    from gaussiansplattingregistration_tpu.parallel.sharded_eval import (
+        evaluate_images_sharded,
+    )
+
+    merged = cloud_first.merge(
+        cloud_second, jnp.asarray(transformation, jnp.float32)
+    )
+    if mesh is None:
+        import jax
+
+        mesh = mesh_mod.make_mesh(data=len(jax.devices()), splat=1)
+
+    usable: List[Camera] = []
+    gts: List[np.ndarray] = []
+    errors: List[str] = []
+    width = height = None
+    for camera in cameras:
+        image_path = os.path.join(images_path, camera.image_name + ".png")
+        try:
+            gt = load_image(image_path)
+        except (OSError, IOError) as e:
+            errors.append(str(e))
+            continue
+        if gt.shape[:2] != (camera.height, camera.width):
+            errors.append(
+                f"{camera.image_name}: image {gt.shape[:2]} != camera "
+                f"({camera.height}, {camera.width})"
+            )
+            continue
+        if width is None:
+            width, height = camera.width, camera.height
+        elif (camera.width, camera.height) != (width, height):
+            errors.append(
+                f"{camera.image_name}: resolution ({camera.height}, "
+                f"{camera.width}) != batch ({height}, {width}) — sharded "
+                "evaluation needs one shared resolution"
+            )
+            continue
+        usable.append(camera)
+        gts.append(gt)
+
+    if usable:
+        agg = evaluate_images_sharded(
+            merged, usable, gts, mesh, background=background, config=config
+        )
+    else:
+        agg = {k: float("nan") for k in ("mse", "rmse", "ssim", "psnr")}
+
+    result = EvaluationResult(
+        mse=agg["mse"], rmse=agg["rmse"], ssim=agg["ssim"], psnr=agg["psnr"],
+        lpips=None, per_camera=[], error_list=errors, lpips_weights=None,
+    )
+    if log_path:
+        os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
+        with open(log_path, "w") as f:
+            json.dump(result.as_log_dict(registration_data), f, indent=2)
+    return result

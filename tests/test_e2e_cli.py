@@ -75,8 +75,9 @@ def test_full_cli_flow(tmp_path_factory, truth):
     err2 = pose_error(_load_transform(t2), T_off)
     assert err2 < 2e-2, err2
 
-    # 3. GT images + cameras.json (rendered from the target cloud — the
-    # "ground truth scene" the photometric loss optimizes toward)
+    # 3. GT images + cameras.json: the "ground truth scene" is the PAIR
+    # merged under the true transform (source at its true pose + target),
+    # so the photometric optimum over the source pose IS the geometric one.
     from gaussiansplattingregistration_tpu.models.camera import Camera, look_at
     from gaussiansplattingregistration_tpu.ops.rasterize import (
         RasterizeConfig, rasterize,
@@ -84,10 +85,18 @@ def test_full_cli_flow(tmp_path_factory, truth):
     from gaussiansplattingregistration_tpu.utils import io as gio
     from PIL import Image
 
-    target = gio.load_gaussian_cloud(TGT)
+    source = gio.load_gaussian_cloud(SRC)
+    target_cloud = gio.load_gaussian_cloud(TGT)
+    T_truth = np.linalg.inv(T_off)
+    target = source.merge(target_cloud, jnp.asarray(T_truth, jnp.float32))
     w = h = 64
     f = w / (2 * math.tan(math.radians(60) / 2))
-    cfg = RasterizeConfig(max_splats_per_tile=128, tile_chunk=4)
+    # GT must be rendered with the SAME config the photometric/evaluate CLI
+    # defaults use: this scene packs hundreds of splats per tile at 64x64,
+    # so a smaller K here would bake truncation artifacts into the GT that
+    # the optimization then chases (measured L1 0.05 between K=128 and the
+    # default K=256 at the true pose).
+    cfg = RasterizeConfig()
     img_dir = tmp / "images"
     img_dir.mkdir()
     entries = []
@@ -96,10 +105,16 @@ def test_full_cli_flow(tmp_path_factory, truth):
     eyes = ((2.2, 1.4, 2.6), (-2.0, 0.8, 2.9), (0.4, -2.1, 2.7))
     for i, eye in enumerate(eyes):
         zoom = float(np.linalg.norm(np.asarray(eye)))
-        V = look_at(eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), zoom=zoom)
+        # forward="+z": the rasterizer is +z-forward (COLMAP); the default
+        # "-z" (reference parity, for the Open3D-style viewer) would put the
+        # whole scene behind the camera and every image would be black.
+        V = look_at(eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), zoom=zoom,
+                    forward="+z")
         cam = Camera.create(np.eye(3), [0.0, 0.0, 0.0], f, f, w, h,
                             image_name=f"view{i}").with_viewmat(V)
-        rgb, _, _ = rasterize(target, cam, config=cfg)
+        rgb, alpha, _ = rasterize(target, cam, config=cfg)
+        assert float(np.asarray(alpha).mean()) > 0.05, (
+            "degenerate (near-black) GT view — camera convention broke")
         arr = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(arr).save(img_dir / f"view{i}.png")
         # 3DGS cameras.json: rotation/position are CAM-TO-WORLD
@@ -113,23 +128,33 @@ def test_full_cli_flow(tmp_path_factory, truth):
     cams_json = tmp / "cameras.json"
     cams_json.write_text(json.dumps(entries))
 
-    # 4. photometric refinement of the multiscale pose
+    # 4. photometric refinement of the multiscale pose: optimize the SOURCE
+    # pose with the target merged as the fixed cloud (matching the GT scene)
     t3 = tmp / "t3.json"
-    run_cli("photometric", SRC, "--cameras", cams_json,
+    run_cli("photometric", SRC, "--second", TGT, "--cameras", cams_json,
             "--images-path", img_dir, "--init-transform", t2,
             "--steps", "80", "--lr", "1e-3", "--output", t3)
     err3 = pose_error(_load_transform(t3), T_off)
-    assert err3 < 3e-2, err3
+    assert err3 < 2e-2, err3
 
-    # 5. evaluate the final pose photometrically (always includes lpips)
+    # 5. evaluate the final pose photometrically (always includes lpips);
+    # the transform applies to the FIRST cloud, so the source goes first
     log = tmp / "eval.json"
-    out = run_cli("evaluate", TGT, SRC, "--transform", t3,
+    out = run_cli("evaluate", SRC, TGT, "--transform", t3,
                   "--cameras", cams_json, "--images-path", img_dir,
-                  "--log", log)
+                  "--log", log, "--sharded", "off")
     metrics = json.loads(out.strip().splitlines()[-1])
     assert metrics["psnr"] > 28.0, metrics
     assert metrics["lpips"] is not None
     assert json.loads(log.read_text())["psnr"] == metrics["psnr"]
+
+    # 5b. the camera-sharded evaluation path (8 virtual CPU devices are
+    # inherited from conftest's XLA_FLAGS, so --sharded auto engages it)
+    out = run_cli("evaluate", SRC, TGT, "--transform", t3,
+                  "--cameras", cams_json, "--images-path", img_dir)
+    sharded = json.loads(out.strip().splitlines()[-1])
+    assert sharded["lpips"] is None  # not computed on the sharded path
+    assert abs(sharded["psnr"] - metrics["psnr"]) < 0.05, (sharded, metrics)
 
     # 6. merge under the final transform and render the merged cloud
     merged = tmp / "merged.ply"

@@ -150,6 +150,60 @@ def test_evaluation_pipeline(tmp_path, rng):
     assert log["registration_data"]["registration_type"] == "unit-test"
 
 
+def test_evaluation_sharded_matches_loop(tmp_path, rng):
+    """Camera-sharded evaluation (8-device CPU mesh) == per-camera loop, and
+    mismatched-resolution / missing-image cameras land in error_list."""
+    from gaussiansplattingregistration_tpu.pipelines.evaluation import (
+        evaluate_registration_sharded,
+    )
+
+    cloud = make_render_scene(rng, n=60)
+    cams = make_cams(width=32, height=32)
+    merged = cloud.merge(cloud)
+    from gaussiansplattingregistration_tpu.ops.rasterize import rasterize
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for cam in cams:
+        rgb, _, _ = rasterize(merged, cam, config=CFG)
+        arr = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{cam.image_name}.png")
+
+    loop = evaluate_registration(
+        cloud, cloud, np.eye(4), cams, str(img_dir),
+        use_lpips=False, config=CFG,
+    )
+    log_path = str(tmp_path / "eval_sharded.json")
+    sharded = evaluate_registration_sharded(
+        cloud, cloud, np.eye(4), cams, str(img_dir),
+        config=CFG, log_path=log_path,
+    )
+    assert sharded.error_list == []
+    for k in ("mse", "ssim", "psnr"):
+        assert abs(getattr(sharded, k) - getattr(loop, k)) < 1e-3, (
+            k, getattr(sharded, k), getattr(loop, k))
+    log = json.loads(open(log_path).read())
+    assert abs(log["psnr"] - sharded.psnr) < 1e-9
+
+    # A camera at a different resolution and one with no image are skipped
+    # with errors, without breaking the shared-resolution batch.
+    odd = Camera.create(np.eye(3), [0.0, 0.0, 4.0], 30.0, 30.0, 48, 48,
+                        image_name="odd")
+    rgb, _, _ = rasterize(merged, odd, config=CFG)
+    Image.fromarray(
+        (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
+    ).save(img_dir / "odd.png")
+    missing = Camera.create(np.eye(3), [0.0, 0.0, 4.0], 30.0, 30.0, 32, 32,
+                            image_name="missing")
+    mixed = evaluate_registration_sharded(
+        cloud, cloud, np.eye(4), cams + [odd, missing], str(img_dir),
+        config=CFG,
+    )
+    assert len(mixed.error_list) == 2
+    assert abs(mixed.psnr - sharded.psnr) < 1e-3
+
+
 def test_evaluation_missing_image(tmp_path, rng):
     cloud = make_render_scene(rng, n=20)
     cams = make_cams(width=32, height=32)
