@@ -239,7 +239,32 @@ def build_grid_table(
         sorted_cid, jnp.arange(n_cells + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     occ = jnp.minimum(starts[1:] - starts[:-1], max_occ)
-    idx_cell = _align_runs_conv(order, starts[:-1], occ, n_cells, max_occ)
+    if jax.default_backend() == "tpu":
+        idx_cell = _align_runs_conv(order, starts[:-1], occ, n_cells, max_occ)
+    else:
+        # XLA-CPU lowers the batch-grouped conv densely (~n_cells^2 work:
+        # 380 GB at 19k cells); a unique-index scatter is fast there and
+        # only serializes on TPU.
+        idx = jnp.arange(m, dtype=jnp.int32)
+        seg_start = jax.lax.cummax(
+            jnp.where(
+                jnp.concatenate(
+                    [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+                ),
+                idx, 0,
+            )
+        )
+        rank = idx - seg_start
+        in_slot = (rank < max_occ) & (sorted_cid < n_cells)
+        dest = jnp.where(
+            in_slot, sorted_cid * max_occ + rank, n_cells * max_occ + idx
+        )
+        idx_cell = (
+            jnp.full(n_cells * max_occ, -1, jnp.int32)
+            .at[dest]
+            .set(order, unique_indices=True, mode="drop")
+            .reshape(n_cells, max_occ)
+        )
 
     # Per-cell rows [n_cells + 1, max_occ * 4]; the extra row is the
     # all-empty sentinel that out-of-grid neighbors gather.

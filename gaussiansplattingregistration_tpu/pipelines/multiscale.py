@@ -49,8 +49,12 @@ def multiscale_voxel_registration(
     init_transform=None,
     sparse_source: Optional[PointCloud] = None,
     sparse_target: Optional[PointCloud] = None,
+    correspondence: str = "auto",
 ) -> RegistrationResult:
-    """Voxel-pyramid coarse-to-fine ICP."""
+    """Voxel-pyramid coarse-to-fine ICP.
+
+    `correspondence` is forwarded to `ops.icp.icp` ("auto"/"brute"/"grid").
+    """
     _validate(params)
     current = np.eye(4) if init_transform is None else np.asarray(init_transform)
 
@@ -95,6 +99,7 @@ def multiscale_voxel_registration(
         result = icp_ops.icp(
             src_down, tgt_down, scale_params,
             init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True,
+            correspondence=correspondence,
         )
         current = result.transformation
 
@@ -107,6 +112,7 @@ def multiscale_mixture_registration(
     target_levels: Sequence[PointCloud],
     params: MultiScaleRegistrationParams,
     init_transform=None,
+    correspondence: str = "auto",
 ) -> RegistrationResult:
     """HEM-level coarse-to-fine ICP.
 
@@ -144,7 +150,9 @@ def multiscale_mixture_registration(
             k_value=params.k_value,
         )
         result = icp_ops.icp(
-            src, tgt, scale_params, init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True
+            src, tgt, scale_params,
+            init_transform=jnp.asarray(current, jnp.float32), shape_bucket=True,
+            correspondence=correspondence,
         )
         current = result.transformation
 

@@ -110,8 +110,13 @@ def _pose_close(T_got, T_want, atol):
                                atol=atol)
 
 
+# Every golden runs through BOTH correspondence paths: "brute" (the fused
+# [Q, N] sweep every small-scale test exercises anyway) and "grid" (the
+# 27-cell candidate table that `correspondence="auto"` only engages at
+# Q*N >= 5e8, so it would otherwise never face the f64 oracle).
+@pytest.mark.parametrize("corr", ["brute", "grid"])
 @pytest.mark.parametrize("variant", ["point_to_point", "point_to_plane"])
-def test_icp_matches_golden(icp_golden, variant):
+def test_icp_matches_golden(icp_golden, variant, corr):
     g = icp_golden
     src = PointCloud(points=jnp.asarray(g["source"], jnp.float32))
     tgt = PointCloud(
@@ -128,7 +133,7 @@ def test_icp_matches_golden(icp_golden, variant):
         # the oracle runs a fixed iteration budget with no early exit
         relative_fitness=0.0, relative_rmse=0.0,
     )
-    res = icp(src, tgt, params)
+    res = icp(src, tgt, params, correspondence=corr)
     key = "pp" if variant == "point_to_point" else "pl"
     T_want = g[f"T_{'point_to_point' if key == 'pp' else 'point_to_plane'}"]
     _pose_close(res.transformation, T_want, atol=5e-5)
@@ -166,7 +171,8 @@ def _pose_err(T_got, T_want):
     return ang, np.linalg.norm(Tg[:3, 3] - Tw[:3, 3])
 
 
-def test_colored_icp_matches_golden(icp_variants_golden):
+@pytest.mark.parametrize("corr", ["brute", "grid"])
+def test_colored_icp_matches_golden(icp_variants_golden, corr):
     g = icp_variants_golden
     intens = lambda a: np.repeat(np.asarray(a, np.float32)[:, None], 3, 1)
     src = PointCloud(points=jnp.asarray(g["source"], jnp.float32),
@@ -180,7 +186,7 @@ def test_colored_icp_matches_golden(icp_variants_golden):
         max_iteration=int(g["max_iteration"]),
         relative_fitness=0.0, relative_rmse=0.0,
     )
-    res = icp(src, tgt, params)
+    res = icp(src, tgt, params, correspondence=corr)
     ang, trn = _pose_err(res.transformation, g["T_colored"])
     # The fixture has noise (optimum != T_true): agreeing with the f64 oracle
     # optimum within ~1e-3 is the assertion.
@@ -190,7 +196,8 @@ def test_colored_icp_matches_golden(icp_variants_golden):
                                rtol=0.05)
 
 
-def test_gicp_matches_golden(icp_variants_golden):
+@pytest.mark.parametrize("corr", ["brute", "grid"])
+def test_gicp_matches_golden(icp_variants_golden, corr):
     g = icp_variants_golden
     src = PointCloud(points=jnp.asarray(g["source"], jnp.float32))
     tgt = PointCloud(points=jnp.asarray(g["target"], jnp.float32),
@@ -201,7 +208,7 @@ def test_gicp_matches_golden(icp_variants_golden):
         max_iteration=int(g["max_iteration"]),
         relative_fitness=0.0, relative_rmse=0.0,
     )
-    res = icp(src, tgt, params)
+    res = icp(src, tgt, params, correspondence=corr)
     ang, trn = _pose_err(res.transformation, g["T_gicp"])
     assert ang < 2e-3 and trn < 2e-3, (ang, trn)
     np.testing.assert_allclose(res.fitness, g["fitness_gicp"], atol=5e-3)

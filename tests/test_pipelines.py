@@ -30,7 +30,8 @@ from tests.test_icp import make_surface_cloud, pose_error
 CFG = RasterizeConfig(max_splats_per_tile=64, tile_chunk=4)
 
 
-def test_multiscale_voxel(rng):
+@pytest.mark.parametrize("corr", ["auto", "grid"])
+def test_multiscale_voxel(rng, corr):
     pts, colors = make_surface_cloud(rng, n=800)
     xi = np.array([0.08, -0.05, 0.06, 0.1, -0.08, 0.12], np.float32)
     T_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
@@ -41,7 +42,9 @@ def test_multiscale_voxel(rng):
     params = MultiScaleRegistrationParams(
         voxel_values=[0.3, 0.15, 0.05], iter_values=[30, 20, 15]
     )
-    result = multiscale.multiscale_voxel_registration(source, target, params)
+    result = multiscale.multiscale_voxel_registration(
+        source, target, params, correspondence=corr
+    )
     # Accuracy floor ~ finest voxel size: source/target are voxelized in
     # different frames so centroids don't correspond exactly (reference
     # behavior too).
