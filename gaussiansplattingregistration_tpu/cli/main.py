@@ -103,6 +103,25 @@ def cmd_register(args):
     src = _as_point_cloud(first)
     tgt = _as_point_cloud(second)
 
+    if bool(args.plane_inliers_first) != bool(args.plane_inliers_second):
+        raise SystemExit(
+            "--plane-inliers-first and --plane-inliers-second must be "
+            "given together (the reference registers inlier subsets of "
+            "BOTH clouds, registration_controller.py:30-36)"
+        )
+    if args.plane_inliers_first:
+        from gaussiansplattingregistration_tpu.pipelines.planes import (
+            load_plane_indices,
+            select_plane_inliers,
+        )
+
+        src = select_plane_inliers(
+            src, load_plane_indices(args.plane_inliers_first)
+        )
+        tgt = select_plane_inliers(
+            tgt, load_plane_indices(args.plane_inliers_second)
+        )
+
     if args.method in ("ransac", "fgr"):
         from gaussiansplattingregistration_tpu.ops import global_registration as gr
 
@@ -472,6 +491,38 @@ def cmd_fit_planes(args):
     print(json.dumps(out))
 
 
+def cmd_merge_planes(args):
+    from gaussiansplattingregistration_tpu.models.parameters import GaussianMixtureParams
+    from gaussiansplattingregistration_tpu.pipelines.planes import (
+        load_plane_indices,
+        merge_plane_inliers,
+    )
+    from gaussiansplattingregistration_tpu.utils import io as gio
+
+    cloud = gio.load_gaussian_cloud(args.input)
+    plane_indices = load_plane_indices(args.planes)
+    params = GaussianMixtureParams(
+        hem_reduction=args.hem_reduction,
+        distance_delta=args.distance_delta,
+        color_delta=args.color_delta,
+        decay_rate=args.decay_rate,
+        cluster_level=args.cluster_level,
+    )
+    levels = merge_plane_inliers(cloud, plane_indices, params, seed=args.seed)
+    n_plane = int(sum(len(ix) for ix in plane_indices))
+    out = {
+        "input_points": cloud.num_points,
+        "plane_points": n_plane,
+        "unselected_points": cloud.num_points - n_plane,
+        "levels": [],
+    }
+    for i, c in enumerate(levels, start=1):
+        path = f"{args.output_prefix}_level{i}.ply"
+        gio.save_gaussian_cloud(c, path)
+        out["levels"].append({"level": i, "points": c.num_points, "path": path})
+    print(json.dumps(out))
+
+
 def cmd_photometric(args):
     import jax.numpy as jnp
 
@@ -542,6 +593,11 @@ def build_parser():
     sp.add_argument("--checker-normal", type=float)
     sp.add_argument("--fgr-max-correspondence", type=float, default=0.025)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--plane-inliers-first",
+                    help="fit-planes --output JSON for the first cloud: "
+                         "register on the plane-inlier subsets only")
+    sp.add_argument("--plane-inliers-second",
+                    help="fit-planes --output JSON for the second cloud")
     sp.set_defaults(fn=cmd_register)
 
     sp = sub.add_parser("multiscale", help="coarse-to-fine registration")
@@ -640,6 +696,22 @@ def build_parser():
     sp.add_argument("--output")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_fit_planes)
+
+    sp = sub.add_parser(
+        "merge-planes",
+        help="per-plane HEM merging: plane inliers downsampled plane-by-"
+             "plane, off-plane points passed through unchanged",
+    )
+    sp.add_argument("input")
+    sp.add_argument("planes", help="fit-planes --output JSON for this cloud")
+    sp.add_argument("output_prefix")
+    sp.add_argument("--hem-reduction", type=float, default=3.0)
+    sp.add_argument("--distance-delta", type=float, default=3.0)
+    sp.add_argument("--color-delta", type=float, default=2.5)
+    sp.add_argument("--decay-rate", type=float, default=1.0)
+    sp.add_argument("--cluster-level", type=int, default=3)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_merge_planes)
 
     sp = sub.add_parser("photometric", help="differentiable pose registration")
     sp.add_argument("first", help="cloud whose pose is optimized")

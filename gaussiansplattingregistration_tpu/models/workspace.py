@@ -34,9 +34,12 @@ class Workspace:
     point_list_second: List[PointCloud] = dataclasses.field(default_factory=list)
     current_index: int = 0                       # HEM level selector (:26)
 
-    # Plane fitting results (:19-24).
-    plane_coefficients: List[np.ndarray] = dataclasses.field(default_factory=list)
-    plane_indices: List[np.ndarray] = dataclasses.field(default_factory=list)
+    # Plane fitting results, per input cloud (data_repository.py:19-24:
+    # `planes`, `first_plane_indices`, `second_plane_indices`).
+    plane_coefficients_first: List[np.ndarray] = dataclasses.field(default_factory=list)
+    plane_coefficients_second: List[np.ndarray] = dataclasses.field(default_factory=list)
+    plane_indices_first: List[np.ndarray] = dataclasses.field(default_factory=list)
+    plane_indices_second: List[np.ndarray] = dataclasses.field(default_factory=list)
 
     last_registration: Optional[RegistrationResult] = None  # (:29)
 
@@ -98,6 +101,27 @@ class Workspace:
         i = self.current_index
         return self.point_list_first[i], self.point_list_second[i]
 
+    @property
+    def inlier_pair(self):
+        """The LEVEL-0 pair restricted to the concatenated plane-inlier
+        subsets — what every `execute_*_registration_inlier` registers on
+        (`registration_controller.py:30-36,54-60,77-83`)."""
+        from gaussiansplattingregistration_tpu.pipelines.planes import (
+            select_plane_inliers,
+        )
+
+        if not self.plane_indices_first or not self.plane_indices_second:
+            raise ValueError(
+                "no fitted planes stored — run plane fitting on both clouds "
+                "before inlier registration"
+            )
+        return (
+            select_plane_inliers(self.point_list_first[0], self.plane_indices_first),
+            select_plane_inliers(self.point_list_second[0], self.plane_indices_second),
+        )
+
     def clear_planes(self) -> None:
-        self.plane_coefficients = []
-        self.plane_indices = []
+        self.plane_coefficients_first = []
+        self.plane_coefficients_second = []
+        self.plane_indices_first = []
+        self.plane_indices_second = []
