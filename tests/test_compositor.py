@@ -130,6 +130,43 @@ def test_depth_sharded_gradients_match_single(rng):
     np.testing.assert_allclose(g_n, g_1, rtol=1e-3, atol=1e-5)
 
 
+def test_depth_sharded_in_k_binding_regime(rng):
+    """The regime the dryrun comment hand-waves: per-tile K truncation BINDS
+    (single-device occupancy overflows K). Per-bucket truncation keeps the
+    front-most K of EACH depth slice — a superset of the single-device
+    front-most K — so the sharded render must be at least as close to the
+    untruncated oracle as the single-device render is."""
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        rasterize_arrays_with_stats,
+    )
+
+    cloud = make_scene(rng, n=900)
+    cam = make_camera(width=48, height=32)
+    cfg_k = dataclasses.replace(CFG_EXACT, max_splats_per_tile=64)
+    cfg_oracle = dataclasses.replace(CFG_EXACT, max_splats_per_tile=1024)
+
+    # Verify K actually binds for this scene/view.
+    *_, stats = rasterize_arrays_with_stats(
+        cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+        cloud.get_features, cam.viewmat, cam.intrinsics, 48, 32,
+        cloud.sh_degree, jnp.zeros(3), cfg_k,
+    )
+    assert int(stats["overflow_tiles"]) > 0, stats
+    assert int(stats["max_run"]) > 64, stats
+
+    rgb_exact, *_ = rasterize(cloud, cam, config=cfg_oracle)
+    rgb_1, *_ = rasterize(cloud, cam, config=cfg_k)
+    mesh = make_mesh(data=1, splat=4, devices=jax.devices()[:4])
+    rgb_n, _, _, dropped = rasterize_depth_sharded(
+        cloud, cam, mesh, config=cfg_k, capacity_slack=8.0
+    )
+    assert int(dropped) == 0
+    err_1 = float(jnp.abs(rgb_1 - rgb_exact).max())
+    err_n = float(jnp.abs(jnp.asarray(np.asarray(rgb_n)) - rgb_exact).max())
+    assert err_1 > 1e-3, err_1   # truncation is actually visible here
+    assert err_n <= err_1 + 1e-5, (err_n, err_1)
+
+
 def test_capacity_overflow_is_counted(rng):
     """A capacity too small for the scene must be REPORTED, not silent."""
     cloud = make_scene(rng, n=400)
