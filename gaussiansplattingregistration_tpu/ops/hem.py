@@ -246,8 +246,13 @@ def hem_cluster_level(
                 grid_dims, k,
             )
         # Push dead points far away so they never enter a neighborhood.
+        # approx=True: the K-candidate list is already this op's documented
+        # truncation of the reference's unbounded radius search; the
+        # PartialReduce selection (recall ~0.975 on v5e, ~10x faster than
+        # exact top_k — ops/knn.py) can miss ~1 of 32 candidates, which
+        # lands in the same saturated_parents/orphan accounting.
         far = jnp.where(child_alive[:, None], state.mean, 1e12)
-        return knn_ops.knn(queries, far, k=k)
+        return knn_ops.knn(queries, far, k=k, approx=True)
 
     if max_parent_slots is None or max_parent_slots >= n:
         d2, idx = _search(state.mean)                        # [N, K]
@@ -418,15 +423,38 @@ def hem_cluster_level(
     return out, stats
 
 
+@jax.jit
+def _device_compact(state: MixtureState):
+    """Pack alive rows first (original order preserved via the iota key) into
+    ONE [N, 13 + F] array, so the host pulls a single contiguous slice of
+    ~alive rows instead of five full-[N] arrays — host<->device transfers
+    through the tunnel run at ~30 MB/s, making the pull the second-largest
+    steady-state cost of a level (0.6 s of 1.5 s measured at 200k)."""
+    n = state.mean.shape[0]
+    flag = jnp.where(state.alive, 0, 1).astype(jnp.int32)
+    _, order = jax.lax.sort(
+        (flag, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False
+    )
+    packed = jnp.concatenate(
+        [
+            state.mean, state.color, state.opacity[:, None], state.cov,
+            state.features,
+        ],
+        axis=1,
+    )
+    return packed[order], jnp.sum(state.alive).astype(jnp.int32)
+
+
 def _compact(state: MixtureState) -> MixtureLevel:
     """Device slots -> host-side compacted MixtureLevel."""
-    alive = np.asarray(state.alive)
+    packed, count = _device_compact(state)
+    rows = np.asarray(packed[: int(count)])
     return MixtureLevel(
-        xyz=np.asarray(state.mean)[alive],
-        colors=np.asarray(state.color)[alive],
-        opacities=np.asarray(state.opacity)[alive],
-        covariance=np.asarray(state.cov)[alive],
-        features=np.asarray(state.features)[alive],
+        xyz=rows[:, 0:3],
+        colors=rows[:, 3:6],
+        opacities=rows[:, 6],
+        covariance=rows[:, 7:13],
+        features=rows[:, 13:],
     )
 
 
@@ -484,6 +512,11 @@ def create_mixture(
         grid_kw = {}
         if want_grid:
             plan = _plan_level_grid(state, float(params.distance_delta))
+            if plan is None and neighbor_search == "auto":
+                # Coarser levels only grow the query radius while the alive
+                # count shrinks slower than the cell count — once the
+                # occupancy bound fails it fails for every later level.
+                want_grid = False
             if plan is not None:
                 origin, inv_cell, dims, max_occ = plan
                 table = knn_ops.build_grid_table(
@@ -535,23 +568,62 @@ def create_mixture(
     return (levels, all_stats) if with_stats else levels
 
 
-def _plan_level_grid(state: "MixtureState", distance_delta: float):
+@jax.jit
+def _grid_precheck_scalars(state: "MixtureState", distance_delta):
+    """Device-side scalars for the grid-plan feasibility precheck: ONE small
+    transfer instead of pulling [N] masks + [N, 3] means to host on levels
+    where the plan is infeasible anyway (dense scenes with query radius
+    comparable to the bbox — e.g. the config-3 bench scene — fail the
+    average-occupancy bound at every level)."""
+    alive = state.alive
+    parents = state.is_parent & alive
+    radius = distance_delta * jnp.sqrt(
+        jnp.maximum(_max_eigenvalue6(state.cov), 0.0)
+    )
+    rmax = jnp.max(jnp.where(parents, radius, 0.0))
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(alive[:, None], state.mean, big), axis=0)
+    hi = jnp.max(jnp.where(alive[:, None], state.mean, -big), axis=0)
+    return (
+        rmax,
+        hi - lo,
+        jnp.sum(alive).astype(jnp.int32),
+        jnp.sum(parents).astype(jnp.int32),
+    )
+
+
+def _plan_level_grid(state: "MixtureState", distance_delta: float,
+                     max_w: int = 4096, max_cells: int = 1_000_000):
     """Host-side grid plan for one HEM level: cell >= the LARGEST alive
     parent's query radius so every parent's radius ball fits its 27-cell
     window. None -> the global-kNN fallback."""
-    alive = np.asarray(state.alive)
-    parents = np.asarray(state.is_parent) & alive
-    if not parents.any() or not alive.any():
-        return None
-    radius = np.asarray(
-        distance_delta
-        * jnp.sqrt(jnp.maximum(_max_eigenvalue6(state.cov), 0.0))
+    rmax_d, span_d, m_d, p_d = _grid_precheck_scalars(
+        state, jnp.float32(distance_delta)
     )
-    rmax = float(radius[parents].max())
-    if not np.isfinite(rmax) or rmax <= 0:
+    rmax = float(rmax_d)
+    m = int(m_d)
+    if int(p_d) == 0 or m == 0 or not np.isfinite(rmax) or rmax <= 0:
         return None
+    # Feasibility from scalars alone (the same doubling walk grid_nn_plan
+    # does, minus the per-cell bincount): if no cell size passes the
+    # average-occupancy and cell-count bounds, skip the host pull entirely.
+    span = np.asarray(span_d, np.float64)
+    cell = rmax
+    feasible = False
+    for _ in range(40):
+        dims = np.minimum(np.floor(span / cell).astype(np.int64) + 1, 1 << 20)
+        n_cells = int(dims.prod())
+        if 27 * m / max(n_cells, 1) > max_w:
+            break  # coarsening only increases average occupancy
+        if n_cells <= max_cells:
+            feasible = True
+            break
+        cell *= 2.0
+    if not feasible:
+        return None
+    alive = np.asarray(state.alive)
     means = np.asarray(state.mean)[alive]
-    plan = knn_ops.grid_nn_plan(means, rmax, max_w=4096)
+    plan = knn_ops.grid_nn_plan(means, rmax, max_w=max_w)
     return plan
 
 

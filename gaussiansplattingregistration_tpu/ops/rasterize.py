@@ -70,6 +70,14 @@ class RasterizeConfig:
     # dropped; `rasterize_arrays_with_stats` counts such tiles
     # (`bwd_cap_violations`).
     max_bwd_splats_per_tile: Optional[int] = None
+    # Round per-entry cotangents to bf16 for the backward gradient transport
+    # (the 11-operand sort's bytes halve AND the landing's run-selector dots
+    # become exact single-pass bf16 MXU dots instead of 6-pass HIGHEST —
+    # summing bf16 values in the f32 accumulator is exact). Gradients gain
+    # <= 2^-9 relative rounding per entry BEFORE the <= C-row landing sum;
+    # the f32-vs-bf16 equivalence is pinned in
+    # tests/test_rasterize.py::test_bf16_cotangent_transport_close_to_f32.
+    bwd_sort_bf16: bool = False
 
 
 DEFAULT_CONFIG = RasterizeConfig()
@@ -460,7 +468,7 @@ def _build_tile_table(
     return table, sorted_entry, dest, counts, order, build_stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_entries(
     packed: jax.Array,        # [N, F]
     table: jax.Array,         # [T, K] ENTRY ids (splat * C + c) or -1
@@ -468,6 +476,7 @@ def gather_entries(
     dest: jax.Array,          # [N*C] flat table slot per sorted entry (or OOB)
     C: int,
     k_bwd: Optional[int] = None,
+    sort_bf16: bool = False,
 ) -> jax.Array:
     """Gather per-splat rows [N, F] into the CHANNEL-MAJOR tile table layout
     [T, F, K] — the layout the Pallas composite kernels consume and emit, so
@@ -504,8 +513,10 @@ def gather_entries(
     return jnp.transpose(g, (0, 2, 1))
 
 
-def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd):
-    out = gather_entries(packed, table, sorted_entry, dest, C, k_bwd)
+def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd,
+                        sort_bf16):
+    out = gather_entries(packed, table, sorted_entry, dest, C, k_bwd,
+                         sort_bf16)
     return out, (table, sorted_entry, dest, packed.shape[0])
 
 
@@ -539,23 +550,29 @@ def _land_rows(R2, pos0, cnt, n, C, F, block=64):
     end = loc + cntb                                          # exclusive
     iota = jnp.arange(128, dtype=jnp.int32)
     out = jnp.zeros((nb, block, F), jnp.float32)
+    # bf16 rows: the 0/1 selector and the values are both exactly
+    # representable, and the MXU accumulates in f32 — ONE pass is exact
+    # w.r.t. the (already-rounded) bf16 rows. f32 rows need HIGHEST to stay
+    # f32-grade (Mosaic/XLA bf16x6).
+    bf16_rows = R2.dtype == jnp.bfloat16
+    prec = None if bf16_rows else jax.lax.Precision.HIGHEST
     for p in range(W // 128):
         rows_p = jnp.minimum(base // 128 + p, n_panel_rows - 1)
         win_p = R2[rows_p].reshape(nb, 128, F)
         pi = iota[None, None, :] + p * 128
         runmask = (
             (pi >= loc[:, :, None]) & (pi < end[:, :, None])
-        ).astype(jnp.float32)
+        ).astype(R2.dtype)
         out = out + jax.lax.dot_general(
             runmask, win_p,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
     return out.reshape(nb * block, F)[:n]
 
 
-def _gather_entries_bwd(C, k_bwd, residuals, ct):
+def _gather_entries_bwd(C, k_bwd, sort_bf16, residuals, ct):
     table, sorted_entry, dest, n = residuals
     T, K = table.shape
     F = ct.shape[1]   # ct is channel-major [T, F, K]
@@ -567,9 +584,12 @@ def _gather_entries_bwd(C, k_bwd, residuals, ct):
     # 2. Sort cotangent rows by entry id (dead slots last via the sentinel).
     # The [T, F, K] cotangent arrives channel-major straight from the Pallas
     # bwd kernel; each sort operand is a contiguous per-channel [T, KB] slab.
+    # With sort_bf16 the value columns ride as bf16 (half the sort bytes;
+    # RasterizeConfig.bwd_sort_bf16 documents the rounding contract).
+    vdt = jnp.bfloat16 if sort_bf16 else ct.dtype
     eid = table[:, :KB].reshape(-1)
     key = jnp.where(eid >= 0, eid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    cols = tuple(ct[:, f, :KB].reshape(-1) for f in range(F))
+    cols = tuple(ct[:, f, :KB].reshape(-1).astype(vdt) for f in range(F))
     # is_stable=False: live keys are unique entry ids and dead-sentinel rows
     # are all-zero, so order among equals is irrelevant — a stable sort makes
     # XLA carry a hidden iota tiebreaker column (~2 ms at bench scale).
@@ -606,7 +626,7 @@ def _gather_entries_bwd(C, k_bwd, residuals, ct):
     # shift-add fold pass).
     return (
         _land_rows(R_rows.reshape(M_pad // 128, 128 * F), pos0, cnt,
-                   n, C, F),
+                   n, C, F).astype(ct.dtype),
         None, None, None,
     )
 
@@ -733,7 +753,7 @@ def rasterize_tile_slab(
         )                                                     # [N, 10]
         gT = gather_entries(
             packed, table, sorted_entry, dest, config.max_tiles_per_splat,
-            config.max_bwd_splats_per_tile,
+            config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
         )                                                     # [T, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
         origin10 = jnp.zeros((num_tiles, 10), means2d.dtype)
@@ -759,7 +779,7 @@ def rasterize_tile_slab(
         )                                                     # [N, 10]
         g = jnp.transpose(gather_entries(
             packed, table, sorted_entry, dest, config.max_tiles_per_splat,
-            config.max_bwd_splats_per_tile,
+            config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
         ), (0, 2, 1))                                         # [T, K, 10]
         B = config.tile_chunk
         pad = (-num_tiles) % B

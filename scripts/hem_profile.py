@@ -25,8 +25,22 @@ n = 200_000
 cloud = make_random_cloud(rng, n=n, sh_degree=1, scale_range=(0.04, 0.10))
 params = GaussianMixtureParams(cluster_level=3)
 
-# Wrap create_mixture internals with per-level timing by monkey-patching
-# hem_cluster_level's wrapped fn? Simpler: time the public path twice.
+# Instrument per-level timing by tracing create_mixture manually.
+orig = hem_ops.hem_cluster_level
+
+
+def timed(*args, **kw):
+    t0 = time.perf_counter()
+    out = orig(*args, **kw)
+    jax.block_until_ready(out[0] if isinstance(out, tuple) else out)
+    gt = kw.get("grid_table")
+    print(f"  level: {time.perf_counter() - t0:6.2f}s grid_table="
+          f"{None if gt is None else tuple(gt.shape)}", flush=True)
+    return out
+
+
+hem_ops.hem_cluster_level = timed
+
 for run in ("cold", "warm"):
     t0 = time.perf_counter()
     levels, stats = hem_ops.create_mixture(
@@ -36,3 +50,21 @@ for run in ("cold", "warm"):
         np.asarray(lvl.xyz)
     print(f"{run}: total {time.perf_counter() - t0:.2f}s "
           f"sizes={[l.xyz.shape[0] for l in levels]}", flush=True)
+
+hem_ops.hem_cluster_level = orig
+
+# Per-op profile of the WARM full 3-level pipeline.
+from scripts.devtime import _parse  # noqa: E402
+import tempfile, glob, shutil  # noqa: E402
+
+d = tempfile.mkdtemp(prefix="hemprof")
+with jax.profiler.trace(d):
+    levels = hem_ops.create_mixture(cloud, params, seed=0, backend="jax")
+    for lvl in levels:
+        np.asarray(lvl.xyz)
+mods, top = _parse(d, top_n=30)
+print("module executions (ms):", [round(m * 1000, 1) for m in mods][:20])
+print("top ops (total ms):")
+for name, ms in top:
+    print(f"  {ms * 1000:8.1f}  {name}")
+shutil.rmtree(d, ignore_errors=True)

@@ -404,3 +404,49 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
     (g_cc,) = vjp_cc(ct)
     np.testing.assert_allclose(np.asarray(g_cc), np.asarray(g_ref_cap),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_cotangent_transport_close_to_f32(rng):
+    """bwd_sort_bf16 rounds each per-entry cotangent to bf16 before the
+    transport sort; the landed per-splat gradients must stay within bf16
+    rounding (<= 2^-8 relative, before the <= C-row sum) of the f32 path,
+    for every parameter tensor of the full rasterizer backward."""
+    import dataclasses
+
+    cloud = make_scene(rng, n=400, scale=(0.05, 0.15))
+    cam = make_camera()
+    bg = jnp.zeros(3, jnp.float32)
+    base = RasterizeConfig(
+        max_tiles_per_splat=8, max_splats_per_tile=64, tile_chunk=4,
+    )
+
+    def grads(config):
+        def loss(m, c, o, f):
+            rgb, _, _ = rasterize_arrays(
+                m, c, o, f, cam.viewmat, cam.intrinsics,
+                WIDTH, HEIGHT, cloud.sh_degree, bg, config,
+            )
+            return jnp.sum(rgb * jnp.cos(jnp.arange(rgb.size).reshape(rgb.shape)))
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(
+            cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+            cloud.get_features,
+        )
+
+    g32 = grads(base)
+    g16 = grads(dataclasses.replace(base, bwd_sort_bf16=True))
+    # Error model: each ENTRY cotangent rounds at <= 2^-9 relative to ITS
+    # magnitude; the landed grad sums <= C of them, so tensors whose landed
+    # values are small relative to their entry cotangents (SH features: the
+    # color cotangent is O(1) while dL/dfeat ~ 1e-2) see a larger fraction
+    # of the tensor max. Bounds are measured behavior + ~50% margin
+    # (means/cov/op ratio <= 0.8e-2, feat <= 3.2e-2 on this scene).
+    for name, a, b in zip(("means", "cov", "op", "feat"), g32, g16):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = np.abs(a).max()
+        assert scale > 0
+        tol = 5e-2 if name == "feat" else 1.2e-2
+        np.testing.assert_allclose(b, a, atol=tol * scale)
+        rel = np.linalg.norm(b - a) / np.linalg.norm(a)
+        assert rel < 2e-2, (name, rel)
