@@ -213,25 +213,16 @@ def bench_raster():
     else:
         stats = None
 
-    # Timed workload: the SAME 3 orbit poses the truncation gate validates,
-    # batched into one dispatch via lax.map — the photometric training loop
-    # renders a camera batch per step (pipelines/photometric.py), so the
-    # per-frame number amortizes dispatch exactly the way training does.
-    if backend == "pallas":
-        batch_viewmats = jnp.stack(viewmats)
-    else:
-        batch_viewmats = jnp.stack([viewmat])  # CPU fallback: keep it short
-    n_frames = int(batch_viewmats.shape[0])
-
+    # Single-pose timed loop. Multi-frame batching was MEASURED a loss on
+    # this chip (scripts/raster_ab.py, r5): lax.map/scan over 3 poses costs
+    # +6.7 ms/frame (scan residual copies beat the ~2 ms dispatch saving);
+    # an unrolled 3-pose body triples compile for the same device time.
     def loss_fn(means, cov3d, op, feats):
-        def one(vm):
-            rgb, _, _ = rasterize_arrays(
-                means, cov3d, op, feats, vm, intr,
-                WIDTH, HEIGHT, 0, bg, config,
-            )
-            return jnp.sum(rgb)
-
-        return jnp.sum(jax.lax.map(one, batch_viewmats))
+        rgb, _, _ = rasterize_arrays(
+            means, cov3d, op, feats, viewmat, intr,
+            WIDTH, HEIGHT, 0, bg, config,
+        )
+        return jnp.sum(rgb)
 
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
 
@@ -243,7 +234,7 @@ def bench_raster():
     for _ in range(ITERS):
         grads = fwd_bwd(means_d, cov_d, op_d, feat_d)
     jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / (ITERS * n_frames)
+    dt = (time.perf_counter() - t0) / ITERS
 
     pixels_per_s = WIDTH * HEIGHT / dt
     out = {

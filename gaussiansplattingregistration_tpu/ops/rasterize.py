@@ -380,9 +380,16 @@ def _build_tile_table(
     # intermediates (profiled ~8 ms at bench scale vs ~1.5 ms for one
     # materialize + one relayout).
     key = jax.lax.optimization_barrier(key)
-    flat_key = key.reshape(-1)
+    # Flatten the key COLUMN-major: XLA lays the materialized [N, C] key out
+    # column-major ({0,1}), so the n-major flatten costs a full relayout
+    # copy (~1.5 ms at bench scale) while the c-major flatten is free. The
+    # sort is input-order-agnostic — the explicit entry-id column (still
+    # the n-major id n*C + c) rides along and ties still break by entry id
+    # (it is the second sort key by VALUE).
+    flat_key = key.T.reshape(-1)
     E = n * C
-    flat_entry = jnp.arange(E, dtype=jnp.int32)
+    j = jnp.arange(E, dtype=jnp.int32)
+    flat_entry = (j % n) * C + (j // n)
 
     # num_keys=2: the entry iota doubles as the tie-breaking key, giving
     # exactly stable-sort order without XLA's hidden stability iota (a third
@@ -584,17 +591,41 @@ def _gather_entries_bwd(C, k_bwd, sort_bf16, residuals, ct):
     # 2. Sort cotangent rows by entry id (dead slots last via the sentinel).
     # The [T, F, K] cotangent arrives channel-major straight from the Pallas
     # bwd kernel; each sort operand is a contiguous per-channel [T, KB] slab.
-    # With sort_bf16 the value columns ride as bf16 (half the sort bytes;
-    # RasterizeConfig.bwd_sort_bf16 documents the rounding contract).
-    vdt = jnp.bfloat16 if sort_bf16 else ct.dtype
+    # With sort_bf16 the value columns are rounded to bf16 and PAIRED into
+    # u32 operands (bit-exact pack/unpack): the TPU variadic sort's cost is
+    # per-OPERAND, not per-byte (measured 7.7 ms for key + 10 bf16 columns
+    # vs key + 10 f32 — identical), so 11 operands -> 6 is the lever.
     eid = table[:, :KB].reshape(-1)
     key = jnp.where(eid >= 0, eid.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    cols = tuple(ct[:, f, :KB].reshape(-1).astype(vdt) for f in range(F))
+    if sort_bf16:
+        cols_bf = [
+            jax.lax.bitcast_convert_type(
+                ct[:, f, :KB].reshape(-1).astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            for f in range(F)
+        ]
+        if F % 2:
+            cols_bf.append(jnp.zeros((M,), jnp.uint32))
+        cols = tuple(
+            cols_bf[i] | (cols_bf[i + 1] << 16)
+            for i in range(0, len(cols_bf), 2)
+        )
+    else:
+        cols = tuple(ct[:, f, :KB].reshape(-1) for f in range(F))
     # is_stable=False: live keys are unique entry ids and dead-sentinel rows
     # are all-zero, so order among equals is irrelevant — a stable sort makes
     # XLA carry a hidden iota tiebreaker column (~2 ms at bench scale).
     sorted_all = jax.lax.sort((key,) + cols, num_keys=1, is_stable=False)
-    R_rows = jnp.stack(sorted_all[1:], axis=-1)              # [M, F]
+    if sort_bf16:
+        unpacked = []
+        for c32 in sorted_all[1:]:
+            unpacked.append(jax.lax.bitcast_convert_type(
+                (c32 & 0xFFFF).astype(jnp.uint16), jnp.bfloat16))
+            unpacked.append(jax.lax.bitcast_convert_type(
+                (c32 >> 16).astype(jnp.uint16), jnp.bfloat16))
+        R_rows = jnp.stack(unpacked[:F], axis=-1)            # [M, F] bf16
+    else:
+        R_rows = jnp.stack(sorted_all[1:], axis=-1)          # [M, F]
     if M_pad != M:
         R_rows = jnp.pad(R_rows, ((0, M_pad - M), (0, 0)))
 
@@ -614,10 +645,25 @@ def _gather_entries_bwd(C, k_bwd, sort_bf16, residuals, ct):
     live_dense = (
         jax.lax.sort((packed_k,), num_keys=1, is_stable=False)[0] & 1
     ).astype(jnp.int32)
-    # Reshape-sum, NOT reduce_window: the strided window lowers with a
-    # [E,1]{0,1:T(1,128)} layout (1-sublane tiles, profiled 1.78 ms at
-    # bench scale); the [N, C] row reduction fuses at bandwidth.
-    cnt = jnp.sum(live_dense.reshape(-1, C), axis=1)         # [N]
+    E = live_dense.shape[0]
+    if C <= 128 and 128 % C == 0 and E % 128 == 0:
+        # Lane-group reduction on the MXU: view [E] as [E/128, 128] (lane-
+        # aligned retiling, cheap) and fold each group of C consecutive
+        # lanes with one [128, 128/C] 0/1 matmul — the [E] -> [N, C]
+        # reshape-sum relayout alone profiled 1.5 + 0.7 ms at bench scale.
+        live2 = live_dense.reshape(E // 128, 128).astype(jnp.bfloat16)
+        G = (
+            (jnp.arange(128)[:, None] // C)
+            == jnp.arange(128 // C)[None, :]
+        ).astype(jnp.bfloat16)
+        cnt = jnp.dot(
+            live2, G, preferred_element_type=jnp.float32
+        ).reshape(-1).astype(jnp.int32)                      # [N]
+    else:
+        # Reshape-sum, NOT reduce_window: the strided window lowers with a
+        # [E,1]{0,1:T(1,128)} layout (1-sublane tiles, profiled 1.78 ms at
+        # bench scale); the [N, C] row reduction fuses at bandwidth.
+        cnt = jnp.sum(live_dense.reshape(-1, C), axis=1)     # [N]
     pos0 = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)         # exclusive
 
     # 5. Windowed RUN-selector landing: each splat's <= C live rows are

@@ -76,9 +76,10 @@ def main():
             print(f"K={ksz}: trunc_psnr={psnr:.2f} dB  frame={dt:.1f} ms  "
                   f"px/s={WIDTH * HEIGHT / dt * 1000 / 1e6:.2f}M", flush=True)
 
-    # The bench headline config (bench.py): K=384.
+    # The bench headline config (bench.py): K=384, bf16 ct transport (r5).
     cfg = RasterizeConfig(max_tiles_per_splat=4, max_splats_per_tile=384,
-                          tile_chunk=32, backend="pallas")
+                          tile_chunk=32, backend="pallas",
+                          bwd_sort_bf16="--f32" not in sys.argv)
     dt, top = device_time(frame_fn(cfg), (means, cov, op, feat), iters=4,
                           top_n=16, verbose=False)
     print(f"TOTAL {dt:.2f} ms/exec")
