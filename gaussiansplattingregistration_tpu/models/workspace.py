@@ -125,3 +125,40 @@ class Workspace:
         self.plane_coefficients_second = []
         self.plane_indices_first = []
         self.plane_indices_second = []
+
+    def apply_plane_merge(self, params, seed: int = 0) -> None:
+        """Per-plane HEM merge of BOTH loaded clouds; the resulting levels
+        replace any existing HEM levels and the plane state is cleared —
+        `DownsamplerController.merge_plane_inliers` +
+        `handle_plane_merge_results` semantics
+        (`downsampler_controller.py:43-69,90-97`: trim lists to level 0,
+        extend with the merged levels, clear planes)."""
+        from gaussiansplattingregistration_tpu.pipelines.planes import (
+            merge_plane_inliers,
+        )
+        from gaussiansplattingregistration_tpu.utils import io as gio
+
+        if not self.gaussian_list_first or not self.gaussian_list_second:
+            raise ValueError("load two Gaussian clouds before plane merging")
+        if not self.plane_indices_first or not self.plane_indices_second:
+            raise ValueError("no fitted planes stored — run plane fitting "
+                             "on both clouds first")
+        levels_first = merge_plane_inliers(
+            self.gaussian_list_first[0], self.plane_indices_first, params,
+            seed=seed,
+        )
+        levels_second = merge_plane_inliers(
+            self.gaussian_list_second[0], self.plane_indices_second, params,
+            seed=seed + 1,
+        )
+        self.gaussian_list_first = self.gaussian_list_first[:1]
+        self.gaussian_list_second = self.gaussian_list_second[:1]
+        self.point_list_first = self.point_list_first[:1]
+        self.point_list_second = self.point_list_second[:1]
+        for lvl in levels_first:
+            self.gaussian_list_first.append(lvl)
+            self.point_list_first.append(gio.gaussian_to_point_cloud(lvl))
+        for lvl in levels_second:
+            self.gaussian_list_second.append(lvl)
+            self.point_list_second.append(gio.gaussian_to_point_cloud(lvl))
+        self.clear_planes()

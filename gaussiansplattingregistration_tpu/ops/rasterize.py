@@ -70,6 +70,16 @@ class RasterizeConfig:
     # dropped; `rasterize_arrays_with_stats` counts such tiles
     # (`bwd_cap_violations`).
     max_bwd_splats_per_tile: Optional[int] = None
+    # Static cap on PROCESSED tile rows (pallas backend): with occupancy-
+    # ordered table rows, all-empty tiles sort to the tail; rows past
+    # `max_live_tiles` are skipped by the gather, the transport sort, and
+    # the kernels and composite to exact background. EXACT whenever the
+    # scene/view has <= max_live_tiles non-empty tiles; violations (a live
+    # tile beyond the cap) are counted in `live_tile_overflow`
+    # (rasterize_arrays_with_stats) — the bounded-coverage idiom. None = all
+    # tiles. Bench-scale measurement: ~35% of the headline scene's tiles are
+    # empty yet paid full transport (~6 ns/row gather on dead slots).
+    max_live_tiles: Optional[int] = None
     # Round per-entry cotangents to bf16 for the backward gradient transport
     # (the 11-operand sort's bytes halve AND the landing's run-selector dots
     # become exact single-pass bf16 MXU dots instead of 6-pass HIGHEST —
@@ -797,18 +807,33 @@ def rasterize_tile_slab(
         packed = jnp.concatenate(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
+        # Occupancy-ordered rows put all-empty tiles at the tail: the cap
+        # (config.max_live_tiles) drops them from the gather, the kernels,
+        # and the whole gradient transport; their pixels are exact
+        # background. Violations are counted below.
+        T_live = num_tiles
+        if config.max_live_tiles is not None:
+            T_live = min(num_tiles, -(-config.max_live_tiles // 8) * 8)
+        table_l = table[:T_live]
+        counts_l = counts[:T_live]
         gT = gather_entries(
-            packed, table, sorted_entry, dest, config.max_tiles_per_splat,
+            packed, table_l, sorted_entry, dest, config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
-        )                                                     # [T, 10, K]
+        )                                                     # [T_live, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
-        origin10 = jnp.zeros((num_tiles, 10), means2d.dtype)
-        origin10 = origin10.at[:, 0].set(tile_origin[:, 0])
-        origin10 = origin10.at[:, 1].set(tile_origin[:, 1])
+        origin10 = jnp.zeros((T_live, 10), means2d.dtype)
+        origin10 = origin10.at[:, 0].set(tile_origin[:T_live, 0])
+        origin10 = origin10.at[:, 1].set(tile_origin[:T_live, 1])
         gT = gT - origin10[:, :, None]
         rgb, alpha, depthmap, live = raster_pallas.composite_tiles_pallas(
-            gT, counts[:, None].astype(means2d.dtype), ts, config
+            gT, counts_l[:, None].astype(means2d.dtype), ts, config
         )
+        if T_live < num_tiles:
+            padr = num_tiles - T_live
+            rgb = jnp.pad(rgb, ((0, padr), (0, 0), (0, 0)))
+            alpha = jnp.pad(alpha, ((0, padr), (0, 0)))
+            depthmap = jnp.pad(depthmap, ((0, padr), (0, 0)))
+            live = jnp.pad(live, ((0, padr),))
         # Restore image (tile-id) order: one [T]-row gather per output.
         # custom-vjp because the autodiff transpose of a gather is an XLA
         # scatter (serialized, ~2 ms here); the inverse of a permutation
@@ -880,6 +905,15 @@ def rasterize_tile_slab(
         stats = dict(build_stats or {})
         stats.update(live_stats)
         stats["max_count"] = jnp.max(counts).astype(jnp.int32)
+        if config.backend == "pallas":
+            T_cap = num_tiles
+            if config.max_live_tiles is not None:
+                T_cap = min(num_tiles, -(-config.max_live_tiles // 8) * 8)
+            # live tiles past the processed-row cap: their pixels rendered
+            # as background (raise max_live_tiles if nonzero)
+            stats["live_tile_overflow"] = jnp.sum(
+                counts[T_cap:] > 0
+            ).astype(jnp.int32)
 
     def tiles_to_image(tiles, ch):
         img = tiles.reshape(tiles_y_window, tiles_x, ts, ts, ch)

@@ -43,10 +43,11 @@ bg = jnp.zeros(3, jnp.float32)
 args = (jnp.asarray(xyz), jnp.asarray(cov), jnp.asarray(op), jnp.asarray(feat))
 
 
-def make(bf16, batch):
+def make(bf16, batch, live_cap=None):
     config = RasterizeConfig(
         max_tiles_per_splat=4, max_splats_per_tile=384, tile_chunk=32,
         backend="pallas", max_bwd_splats_per_tile=None, bwd_sort_bf16=bf16,
+        max_live_tiles=live_cap,
     )
 
     def loss(means, cov3d, o, ft):
@@ -64,12 +65,13 @@ def make(bf16, batch):
     return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))), (3 if batch else 1)
 
 
-VARIANTS = {"base": (False, False), "bf16": (True, False),
-            "batch": (False, True), "both": (True, True)}
+VARIANTS = {"base": (False, False, None), "bf16": (True, False, None),
+            "batch": (False, True, None), "both": (True, True, None),
+            "bf16cap": (True, False, 2872)}
 want = sys.argv[1:] or list(VARIANTS)
 for name in want:
-    bf16, batch = VARIANTS[name]
-    fn, nframes = make(bf16, batch)
+    bf16, batch, cap = VARIANTS[name]
+    fn, nframes = make(bf16, batch, cap)
     g = fn(*args)
     jax.block_until_ready(g)
     iters = max(1, 16 // nframes)

@@ -194,3 +194,29 @@ def test_cli_plane_flow(tmp_path, rng):
         assert 0 < n_plane_d < out["plane_points"] / (1.6 ** d)
         reread = gio.load_gaussian_cloud(lvl["path"])
         assert reread.num_points == lvl["points"]
+
+
+def test_workspace_apply_plane_merge(rng):
+    """Workspace plane-merge result handling: levels replace existing HEM
+    levels, plane state clears (downsampler_controller.py:90-97)."""
+    cloud, idx_a, idx_b, idx_noise = make_planar_cloud(
+        rng, n_plane=150, n_noise=40
+    )
+    ws = Workspace()
+    ws.load_pair(cloud, cloud)
+    # Pre-existing HEM levels must be trimmed away by the merge.
+    ws.gaussian_list_first.append(cloud)
+    ws.point_list_first.append(ws.point_list_first[0])
+    ws.plane_indices_first = [idx_a, idx_b]
+    ws.plane_indices_second = [idx_a, idx_b]
+    params = GaussianMixtureParams(cluster_level=2, hem_reduction=3.0)
+    ws.apply_plane_merge(params, seed=0)
+    assert len(ws.gaussian_list_first) == 3   # level 0 + 2 merged levels
+    assert len(ws.gaussian_list_second) == 3
+    assert len(ws.point_list_first) == 3
+    assert ws.plane_indices_first == [] and ws.plane_indices_second == []
+    n_unsel = len(idx_noise)
+    for lvl in ws.gaussian_list_first[1:]:
+        assert n_unsel < lvl.num_points < cloud.num_points
+    with pytest.raises(ValueError):
+        ws.apply_plane_merge(params)  # planes were cleared

@@ -450,3 +450,59 @@ def test_bf16_cotangent_transport_close_to_f32(rng):
         np.testing.assert_allclose(b, a, atol=tol * scale)
         rel = np.linalg.norm(b - a) / np.linalg.norm(a)
         assert rel < 2e-2, (name, rel)
+
+
+def test_max_live_tiles_exact_and_counted(rng):
+    """Occupancy-row cap: exact when every non-empty tile fits under the
+    cap, and `live_tile_overflow` counts live tiles past it when not."""
+    import dataclasses
+
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        rasterize_arrays_with_stats,
+    )
+
+    # Scene concentrated near the center: edge tiles empty.
+    cloud = make_scene(rng, n=200, spread=0.7, scale=(0.05, 0.12))
+    cam = make_camera()
+    bg = jnp.asarray([0.3, 0.1, 0.2], jnp.float32)
+    base = RasterizeConfig(
+        max_tiles_per_splat=8, max_splats_per_tile=64, tile_chunk=4,
+        backend="pallas",
+    )
+    args = (cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+            cloud.get_features, cam.viewmat, cam.intrinsics,
+            WIDTH, HEIGHT, cloud.sh_degree, bg)
+    rgb_ref, _, _, stats = rasterize_arrays_with_stats(*args, base)
+    n_live = int(np.sum(np.asarray(stats["max_count"]) > 0))  # scalar guard
+    # count non-empty tiles via a full-table probe
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        project_gaussians, _build_tile_table,
+    )
+    proj = project_gaussians(cloud.xyz, cloud.get_covariance(), cam.viewmat,
+                             cam.intrinsics, WIDTH, HEIGHT, base)
+    *_, counts, order, _ = _build_tile_table(
+        proj["means2d"], proj["radius"], proj["depth"], proj["valid"],
+        -(-WIDTH // 16), -(-HEIGHT // 16), base)
+    n_nonempty = int(jnp.sum(counts > 0))
+    assert 4 < n_nonempty < 12  # 4x3 tile grid: some empty, some live
+
+    ok_cfg = dataclasses.replace(base, max_live_tiles=n_nonempty + 8)
+    rgb_ok, _, _, s_ok = rasterize_arrays_with_stats(*args, ok_cfg)
+    assert int(s_ok["live_tile_overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(rgb_ok), np.asarray(rgb_ref),
+                               atol=1e-6)
+
+    # Gradients too: the clipped transport must match the full one.
+    def loss(cfg):
+        def f(m):
+            rgb, _, _ = rasterize_arrays(
+                m, cloud.get_covariance(), cloud.get_opacity[:, 0],
+                cloud.get_features, cam.viewmat, cam.intrinsics,
+                WIDTH, HEIGHT, cloud.sh_degree, bg, cfg)
+            return jnp.sum(rgb * rgb)
+        return np.asarray(jax.grad(f)(cloud.xyz))
+    np.testing.assert_allclose(loss(ok_cfg), loss(base), atol=1e-5)
+
+    tight = dataclasses.replace(base, max_live_tiles=1)
+    _, _, _, s_bad = rasterize_arrays_with_stats(*args, tight)
+    assert int(s_bad["live_tile_overflow"]) > 0
