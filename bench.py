@@ -32,8 +32,9 @@ N_SPLATS = 1_000_000
 WARMUP = 3
 # Steady-state: wall/iter converges by ~12 dispatches (measured 72.3 ->
 # 61.6 ms/frame from 2 to 12 iters — per-dispatch tunnel overhead
-# amortizes); 16 keeps the tail flat.
-ITERS = 16
+# amortizes); at a ~44 ms frame the residual per-dispatch overhead is
+# still ~1 ms at 16 iters — 32 halves it (measured 46.8 -> ~45 ms/frame).
+ITERS = 32
 
 
 def _log(msg):
@@ -377,13 +378,25 @@ def bench_global():
     g = gr.ransac_registration(src, tgt, ransac, seed=1)
     r = icp_ops.icp(src, tgt, refine, init_transform=g.transformation)
     dt = time.perf_counter() - t0
+
+    # Hypothesis THROUGHPUT, separately from the wall metric: the wall
+    # number confidence-exits after one 512-hypothesis batch on this
+    # well-separated pair, so it is insensitive to the search loop itself.
+    # confidence=1.0 can never early-exit -> all 16384 hypotheses run.
+    import dataclasses as _dc
+    flood = _dc.replace(ransac, max_iteration=16384, confidence=1.0)
+    gr.ransac_registration(src, tgt, flood, seed=0)  # compile
+    t1 = time.perf_counter()
+    gf = gr.ransac_registration(src, tgt, flood, seed=1)
+    hyp_s = gf.num_iterations / (time.perf_counter() - t1)
     return {
         "metric": "global_fpfh_ransac_plus_colored_refine_wall_s_50k_pts",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": None,
         "detail": {"ransac_fitness": g.fitness, "refine_fitness": r.fitness,
-                   "ransac_hypotheses": g.num_iterations},
+                   "ransac_hypotheses": g.num_iterations,
+                   "ransac_hypotheses_per_s": round(hyp_s, 1)},
     }
 
 

@@ -485,7 +485,7 @@ def _build_tile_table(
     return table, sorted_entry, dest, counts, order, build_stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def gather_entries(
     packed: jax.Array,        # [N, F]
     table: jax.Array,         # [T, K] ENTRY ids (splat * C + c) or -1
@@ -494,6 +494,7 @@ def gather_entries(
     C: int,
     k_bwd: Optional[int] = None,
     sort_bf16: bool = False,
+    total_slots: Optional[int] = None,
 ) -> jax.Array:
     """Gather per-splat rows [N, F] into the CHANNEL-MAJOR tile table layout
     [T, F, K] — the layout the Pallas composite kernels consume and emit, so
@@ -531,9 +532,9 @@ def gather_entries(
 
 
 def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd,
-                        sort_bf16):
+                        sort_bf16, total_slots):
     out = gather_entries(packed, table, sorted_entry, dest, C, k_bwd,
-                         sort_bf16)
+                         sort_bf16, total_slots)
     return out, (table, sorted_entry, dest, packed.shape[0])
 
 
@@ -589,12 +590,22 @@ def _land_rows(R2, pos0, cnt, n, C, F, block=64):
     return out.reshape(nb * block, F)[:n]
 
 
-def _gather_entries_bwd(C, k_bwd, sort_bf16, residuals, ct):
+def _gather_entries_bwd(C, k_bwd, sort_bf16, total_slots, residuals, ct):
     table, sorted_entry, dest, n = residuals
     T, K = table.shape
     F = ct.shape[1]   # ct is channel-major [T, F, K]
     KB = K if k_bwd is None else min(k_bwd, K)
-    num_slots = T * K
+    # Entry validity bound for `dest`: dest encodes (tile_id * K + rank) in
+    # IMAGE tile order with rank < K, and OOB sentinels >= num_tiles * K for
+    # dropped entries. Under `max_live_tiles` the table rows are an
+    # OCCUPANCY-ordered PREFIX, so `table.shape[0] * K` is NOT the validity
+    # bound — a live tile with a high image id would be miscounted dead and
+    # the whole landing would misalign (every splat after the first miss
+    # gets another splat's cotangents). The caller passes the full
+    # `num_tiles * K`; the cap contract (live_tile_overflow == 0, counted in
+    # stats and hard-gated in bench.py) guarantees every valid entry's tile
+    # is present in the capped table.
+    num_slots = T * K if total_slots is None else total_slots
     M = T * KB
     M_pad = ((M + 127) // 128) * 128
 
@@ -819,6 +830,7 @@ def rasterize_tile_slab(
         gT = gather_entries(
             packed, table_l, sorted_entry, dest, config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
+            num_tiles * K,
         )                                                     # [T_live, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
         origin10 = jnp.zeros((T_live, 10), means2d.dtype)

@@ -506,3 +506,47 @@ def test_max_live_tiles_exact_and_counted(rng):
     tight = dataclasses.replace(base, max_live_tiles=1)
     _, _, _, s_bad = rasterize_arrays_with_stats(*args, tight)
     assert int(s_bad["live_tile_overflow"]) > 0
+
+
+def test_max_live_tiles_sliced_gradients(rng):
+    """Cap that GENUINELY slices (T_live < num_tiles) with live tiles at
+    HIGH image ids: regression for the live_s bound in the gather VJP —
+    validity must be judged against the FULL num_tiles * K, not the capped
+    table size, or every live tile with image id >= cap is miscounted dead
+    and the landing misaligns (gradients were 100% wrong, not subtly off)."""
+    import dataclasses
+
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        rasterize_arrays_with_stats,
+    )
+
+    W, H = 160, 96                               # 10 x 6 = 60 tiles
+    cloud = make_scene(rng, n=300, spread=0.5, scale=(0.02, 0.06))
+    # Shift toward the bottom-right: the non-empty tiles get the HIGHEST
+    # image ids, the worst case for an image-order validity bound.
+    cloud = dataclasses.replace(
+        cloud, xyz=cloud.xyz + jnp.asarray([0.8, 0.6, 0.0], jnp.float32)
+    )
+    cam = make_camera(width=W, height=H)
+    bg = jnp.zeros(3, jnp.float32)
+    base = RasterizeConfig(
+        max_tiles_per_splat=4, max_splats_per_tile=64, tile_chunk=4,
+        backend="pallas",
+    )
+    capped = dataclasses.replace(base, max_live_tiles=16)  # T_live=16 < 60
+    args = (cloud.xyz, cloud.get_covariance(), cloud.get_opacity[:, 0],
+            cloud.get_features, cam.viewmat, cam.intrinsics,
+            W, H, cloud.sh_degree, bg)
+    _, _, _, s = rasterize_arrays_with_stats(*args, capped)
+    assert int(s["live_tile_overflow"]) == 0     # cap covers all live tiles
+
+    def gradf(cfg):
+        def f(m):
+            rgb, _, _ = rasterize_arrays(m, *args[1:-1], bg, cfg)
+            return jnp.sum(rgb * rgb)
+        return np.asarray(jax.grad(f)(cloud.xyz))
+
+    np.testing.assert_allclose(gradf(capped), gradf(base), atol=1e-5)
+    r0, _, _ = rasterize_arrays(*args, base)
+    r1, _, _ = rasterize_arrays(*args, capped)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-6)
