@@ -236,6 +236,33 @@ def _align_runs_conv(vals: jax.Array, starts: jax.Array, counts: jax.Array,
     return jnp.where(kcol < counts[:, None], ids, -1)
 
 
+def _cumsum_flat_mxu(bits: jax.Array) -> jax.Array:
+    """Inclusive cumsum of a 0/1 vector [E] -> int32 [E], MXU-based.
+
+    `jnp.cumsum`/`lax.cummax` over a 4M flat axis lower to a log-pass
+    reduce-window (~1.5 ms at bench scale); this reshapes to [E/512, 512],
+    does the within-row inclusive scan as ONE [R,512]@[512,512] triangular
+    matmul, and adds exclusive row offsets from a tiny [R] cumsum. Exact in
+    the f32 accumulator: products are 0/1 and row sums <= 512 << 2^24
+    (total count must stay < 2^24 — entry counts are, guarded upstream).
+    """
+    S = 512
+    E = bits.shape[0]
+    Ep = -(-E // S) * S
+    x2 = jnp.pad(bits.astype(jnp.float32), (0, Ep - E)).reshape(Ep // S, S)
+    r = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    tri = (r <= c).astype(jnp.float32)
+    within = jax.lax.dot_general(
+        x2, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                       # [R, S]
+    totals = within[:, S - 1]
+    offs = jnp.cumsum(totals) - totals                      # exclusive [R]
+    return (within + offs[:, None]).astype(jnp.int32).reshape(-1)[:E]
+
+
 def _gather_rows_flat(x: jax.Array, perm: jax.Array) -> jax.Array:
     """Row-permute with the trailing dims FLATTENED first: a gather of
     [T, P, ch] slices reads (P, ch)-tiled lane-tiles at ch/128 utilization
@@ -301,7 +328,8 @@ def _build_tile_table(
     (parallel/sharded_raster.py).
 
     Returns (table [num_tiles, K] int32 ENTRY ids (splat_id * C + c) with -1
-    for empty slots, sorted_entry, dest, counts [num_tiles] int32
+    for empty slots, sorted_entry, live [E] bool (entry present in the
+    table and within the first KB backward ranks), counts [num_tiles] int32
     post-truncation occupancy, order, build_stats). On the pallas backend
     the table/counts ROWS are permuted into descending-occupancy order and
     `order` is that permutation ([T] int32, table row r = tile order[r]) —
@@ -409,24 +437,28 @@ def _build_tile_table(
     )
     sorted_tiles = (sorted_key >> depth_bits).astype(jnp.int32)
 
-    # Rank within tile run: distance to the run's first index (cummax trick).
-    idx = jnp.arange(E, dtype=jnp.int32)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_tiles[1:] != sorted_tiles[:-1]]
     )
-    seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
-    rank = idx - seg_start
-
     K = config.max_splats_per_tile
-    dest = jnp.where(
-        (rank < K) & (sorted_tiles < num_tiles),
-        sorted_tiles * K + rank,
-        # Dropped entries get GENUINELY unique out-of-bounds slots (num_tiles*K
-        # + position): XLA's unique_indices promise makes duplicate indices
-        # undefined behavior even in drop mode.
-        num_tiles * K + idx,
-    )
+    KB = K
+    if config.max_bwd_splats_per_tile is not None:
+        KB = min(config.max_bwd_splats_per_tile, K)
     if config.backend == "pallas":
+        # Per-entry table liveness (rank < KB, valid tile) WITHOUT the rank
+        # itself: rank(i) < KB iff a run boundary falls in (i-KB, i], i.e.
+        # B(i) - B(i-KB) >= 1 with B = inclusive boundary cumsum — one MXU
+        # triangular matmul (_cumsum_flat_mxu) instead of the flat-axis
+        # cummax reduce-window (~1.5 ms at bench scale).
+        Bc = _cumsum_flat_mxu(boundary)
+        if KB >= E:
+            in_window = jnp.ones((E,), bool)    # every rank < E <= KB
+        else:
+            Bs = jnp.concatenate(
+                [jnp.zeros((KB,), jnp.int32), Bc[:-KB]]
+            )
+            in_window = (Bc - Bs) >= 1
+        live = in_window & (sorted_tiles < num_tiles)
         # Tile runs are contiguous in the sorted order: recover each run's
         # start with a binary search (22 gathers over [T] queries) and slice
         # each run out with the row-gather + exact-conv alignment
@@ -452,6 +484,20 @@ def _build_tile_table(
         table = _align_runs_conv(sorted_entry, bounds[:-1][order], counts,
                                  num_tiles, K)
     else:
+        # XLA path: the scatter build needs per-entry ranks/slots anyway, so
+        # derive liveness from them (the cummax cost is irrelevant here).
+        idx = jnp.arange(E, dtype=jnp.int32)
+        seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+        rank = idx - seg_start
+        dest = jnp.where(
+            (rank < K) & (sorted_tiles < num_tiles),
+            sorted_tiles * K + rank,
+            # Dropped entries get GENUINELY unique out-of-bounds slots
+            # (num_tiles*K + position): XLA's unique_indices promise makes
+            # duplicate indices undefined behavior even in drop mode.
+            num_tiles * K + idx,
+        )
+        live = (rank < KB) & (sorted_tiles < num_tiles)
         table = jnp.full(num_tiles * K, -1, jnp.int32).at[dest].set(
             sorted_entry, unique_indices=True, mode="drop"
         ).reshape(num_tiles, K)
@@ -482,19 +528,18 @@ def _build_tile_table(
             # render of this scene/view needs
             "max_run": jnp.max(runs).astype(jnp.int32),
         }
-    return table, sorted_entry, dest, counts, order, build_stats
+    return table, sorted_entry, live, counts, order, build_stats
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_entries(
     packed: jax.Array,        # [N, F]
     table: jax.Array,         # [T, K] ENTRY ids (splat * C + c) or -1
     sorted_entry: jax.Array,  # [N*C] entry ids in sorted-key order
-    dest: jax.Array,          # [N*C] flat table slot per sorted entry (or OOB)
+    live: jax.Array,          # [N*C] bool per sorted entry: in table & < KB
     C: int,
     k_bwd: Optional[int] = None,
     sort_bf16: bool = False,
-    total_slots: Optional[int] = None,
 ) -> jax.Array:
     """Gather per-splat rows [N, F] into the CHANNEL-MAJOR tile table layout
     [T, F, K] — the layout the Pallas composite kernels consume and emit, so
@@ -531,11 +576,11 @@ def gather_entries(
     return jnp.transpose(g, (0, 2, 1))
 
 
-def _gather_entries_fwd(packed, table, sorted_entry, dest, C, k_bwd,
-                        sort_bf16, total_slots):
-    out = gather_entries(packed, table, sorted_entry, dest, C, k_bwd,
-                         sort_bf16, total_slots)
-    return out, (table, sorted_entry, dest, packed.shape[0])
+def _gather_entries_fwd(packed, table, sorted_entry, live, C, k_bwd,
+                        sort_bf16):
+    out = gather_entries(packed, table, sorted_entry, live, C, k_bwd,
+                         sort_bf16)
+    return out, (table, sorted_entry, live, packed.shape[0])
 
 
 def _land_rows(R2, pos0, cnt, n, C, F, block=64):
@@ -590,22 +635,19 @@ def _land_rows(R2, pos0, cnt, n, C, F, block=64):
     return out.reshape(nb * block, F)[:n]
 
 
-def _gather_entries_bwd(C, k_bwd, sort_bf16, total_slots, residuals, ct):
-    table, sorted_entry, dest, n = residuals
+def _gather_entries_bwd(C, k_bwd, sort_bf16, residuals, ct):
+    table, sorted_entry, live_s, n = residuals
     T, K = table.shape
     F = ct.shape[1]   # ct is channel-major [T, F, K]
     KB = K if k_bwd is None else min(k_bwd, K)
-    # Entry validity bound for `dest`: dest encodes (tile_id * K + rank) in
-    # IMAGE tile order with rank < K, and OOB sentinels >= num_tiles * K for
-    # dropped entries. Under `max_live_tiles` the table rows are an
-    # OCCUPANCY-ordered PREFIX, so `table.shape[0] * K` is NOT the validity
-    # bound — a live tile with a high image id would be miscounted dead and
-    # the whole landing would misalign (every splat after the first miss
-    # gets another splat's cotangents). The caller passes the full
-    # `num_tiles * K`; the cap contract (live_tile_overflow == 0, counted in
-    # stats and hard-gated in bench.py) guarantees every valid entry's tile
-    # is present in the capped table.
-    num_slots = T * K if total_slots is None else total_slots
+    # `live_s` is computed at table-build time against the FULL tile count
+    # (regression guard: under `max_live_tiles` the table rows are an
+    # occupancy-ordered PREFIX, so no slot-id arithmetic against
+    # table.shape[0] can decide liveness — a live tile with a high image id
+    # would be miscounted dead and the whole landing would misalign, every
+    # splat after the first miss getting another splat's cotangents; the
+    # cap contract (live_tile_overflow == 0, hard-gated in bench.py)
+    # guarantees every live entry's tile is present in the capped table).
     M = T * KB
     M_pad = ((M + 127) // 128) * 128
 
@@ -659,7 +701,6 @@ def _gather_entries_bwd(C, k_bwd, sort_bf16, total_slots, residuals, ct):
     # riding in the LSB — one 4M u32 column instead of key + value column
     # (~3.5 ms cheaper at bench scale). Entry ids < 2^24 (guarded in
     # _build_tile_table), so the shift never overflows.
-    live_s = (dest < num_slots) & ((dest % K) < KB)
     packed_k = (
         (sorted_entry.astype(jnp.uint32) << 1) | live_s.astype(jnp.uint32)
     )
@@ -786,7 +827,7 @@ def rasterize_tile_slab(
     num_tiles = tiles_x * tiles_y_window
 
     op = opacity * valid.astype(opacity.dtype)
-    table, sorted_entry, dest, counts, order, build_stats = _build_tile_table(
+    table, sorted_entry, entry_live, counts, order, build_stats = _build_tile_table(
         means2d, radius, depth, valid, tiles_x, tiles_y, config,
         ty_offset=ty_offset, tiles_y_window=tiles_y_window,
         with_stats=with_stats,
@@ -828,9 +869,9 @@ def rasterize_tile_slab(
         table_l = table[:T_live]
         counts_l = counts[:T_live]
         gT = gather_entries(
-            packed, table_l, sorted_entry, dest, config.max_tiles_per_splat,
+            packed, table_l, sorted_entry, entry_live,
+            config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
-            num_tiles * K,
         )                                                     # [T_live, 10, K]
         # Tile-LOCAL means keep the quadratic form exact in f32.
         origin10 = jnp.zeros((T_live, 10), means2d.dtype)
@@ -861,7 +902,8 @@ def rasterize_tile_slab(
             [means2d, conic, op[:, None], colors, depth[:, None]], axis=-1
         )                                                     # [N, 10]
         g = jnp.transpose(gather_entries(
-            packed, table, sorted_entry, dest, config.max_tiles_per_splat,
+            packed, table, sorted_entry, entry_live,
+            config.max_tiles_per_splat,
             config.max_bwd_splats_per_tile, config.bwd_sort_bf16,
         ), (0, 2, 1))                                         # [T, K, 10]
         B = config.tile_chunk

@@ -368,7 +368,7 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
     radius = jnp.asarray(rng.uniform(1, 20, size=n), jnp.float32)
     depth = jnp.asarray(rng.uniform(0.5, 5.0, size=n), jnp.float32)
     valid = jnp.asarray(rng.uniform(size=n) > 0.2)
-    table, sorted_entry, dest, _, _, _ = _build_tile_table(
+    table, sorted_entry, live, _, _, _ = _build_tile_table(
         means2d, radius, depth, valid, tiles_x=4, tiles_y=3, config=cfg
     )
     packed = jnp.asarray(rng.normal(size=(n, F)), jnp.float32)
@@ -385,20 +385,28 @@ def test_gather_entries_vjp_matches_plain_jax(rng, C):
     (g_ref,) = vjp_ref(ct)
 
     def custom(p):
-        return gather_entries(p, table, sorted_entry, dest, C, None)
+        return gather_entries(p, table, sorted_entry, live, C, None)
 
     _, vjp_c = jax.vjp(custom, packed)
     (g_c,) = vjp_c(ct)
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
                                rtol=1e-6, atol=1e-6)
 
-    # Capped transport == plain VJP with cotangent ranks past the cap zeroed.
+    # Capped transport == plain VJP with cotangent ranks past the cap
+    # zeroed. `live` must come from a table build with the SAME KB — the
+    # library path always passes config.max_bwd_splats_per_tile to both.
+    import dataclasses as _dc
+
     KB = 3
+    _, _, live_cap, _, _, _ = _build_tile_table(
+        means2d, radius, depth, valid, tiles_x=4, tiles_y=3,
+        config=_dc.replace(cfg, max_bwd_splats_per_tile=KB),
+    )
     ct_masked = ct * (jnp.arange(table.shape[1]) < KB)[None, None, :]
     (g_ref_cap,) = vjp_ref(ct_masked)
 
     def custom_cap(p):
-        return gather_entries(p, table, sorted_entry, dest, C, KB)
+        return gather_entries(p, table, sorted_entry, live_cap, C, KB)
 
     _, vjp_cc = jax.vjp(custom_cap, packed)
     (g_cc,) = vjp_cc(ct)
