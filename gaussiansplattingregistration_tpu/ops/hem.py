@@ -445,9 +445,8 @@ def _device_compact(state: MixtureState):
     return packed[order], jnp.sum(state.alive).astype(jnp.int32)
 
 
-def _compact(state: MixtureState) -> MixtureLevel:
-    """Device slots -> host-side compacted MixtureLevel."""
-    packed, count = _device_compact(state)
+def _materialize_level(packed, count) -> MixtureLevel:
+    """Pull a `_device_compact` result to host as a MixtureLevel."""
     rows = np.asarray(packed[: int(count)])
     return MixtureLevel(
         xyz=rows[:, 0:3],
@@ -456,6 +455,11 @@ def _compact(state: MixtureState) -> MixtureLevel:
         covariance=rows[:, 7:13],
         features=rows[:, 13:],
     )
+
+
+def _compact(state: MixtureState) -> MixtureLevel:
+    """Device slots -> host-side compacted MixtureLevel."""
+    return _materialize_level(*_device_compact(state))
 
 
 def create_mixture(
@@ -561,20 +565,37 @@ def create_mixture(
         )
         if with_stats:
             state, stats = out
-            all_stats.append({k: int(v) for k, v in stats.items()})
+            # Stack the per-level stat scalars into ONE device array (the
+            # stack dispatch is async); the pull happens after the loop.
+            all_stats.append(
+                (tuple(stats), jnp.stack(list(stats.values())))
+            )
         else:
             state = out
-        levels.append(_compact(state))
+        # Defer the host pulls: keep the (packed, count) device arrays and
+        # materialize after every level is DISPATCHED. Each host sync
+        # through the tunnel costs a full round-trip that would otherwise
+        # sit on the critical path between levels — deferring cut the warm
+        # 3-level 200k wall from 3.8 s to the pull cost alone (the device
+        # compute is ~0.2 s; see PERF.md "HEM host-sync batching").
+        levels.append(_device_compact(state))
+    levels = [_materialize_level(p, c) for p, c in levels]
+    if with_stats:
+        all_stats = [
+            {k: int(v) for k, v in zip(keys, np.asarray(vals))}
+            for keys, vals in all_stats
+        ]
     return (levels, all_stats) if with_stats else levels
 
 
 @jax.jit
 def _grid_precheck_scalars(state: "MixtureState", distance_delta):
-    """Device-side scalars for the grid-plan feasibility precheck: ONE small
-    transfer instead of pulling [N] masks + [N, 3] means to host on levels
-    where the plan is infeasible anyway (dense scenes with query radius
-    comparable to the bbox — e.g. the config-3 bench scene — fail the
-    average-occupancy bound at every level)."""
+    """Device-side scalars for the grid-plan feasibility precheck, PACKED
+    into one f32[6] array: ONE small transfer (= one tunnel round-trip)
+    instead of pulling [N] masks + [N, 3] means to host on levels where the
+    plan is infeasible anyway (dense scenes with query radius comparable to
+    the bbox — e.g. the config-3 bench scene — fail the average-occupancy
+    bound at every level). Counts are exact as f32 (< 2^24)."""
     alive = state.alive
     parents = state.is_parent & alive
     radius = distance_delta * jnp.sqrt(
@@ -584,12 +605,12 @@ def _grid_precheck_scalars(state: "MixtureState", distance_delta):
     big = jnp.float32(3.4e38)
     lo = jnp.min(jnp.where(alive[:, None], state.mean, big), axis=0)
     hi = jnp.max(jnp.where(alive[:, None], state.mean, -big), axis=0)
-    return (
-        rmax,
-        hi - lo,
-        jnp.sum(alive).astype(jnp.int32),
-        jnp.sum(parents).astype(jnp.int32),
-    )
+    span = hi - lo
+    return jnp.stack([
+        rmax, span[0], span[1], span[2],
+        jnp.sum(alive).astype(jnp.float32),
+        jnp.sum(parents).astype(jnp.float32),
+    ])
 
 
 def _plan_level_grid(state: "MixtureState", distance_delta: float,
@@ -597,17 +618,17 @@ def _plan_level_grid(state: "MixtureState", distance_delta: float,
     """Host-side grid plan for one HEM level: cell >= the LARGEST alive
     parent's query radius so every parent's radius ball fits its 27-cell
     window. None -> the global-kNN fallback."""
-    rmax_d, span_d, m_d, p_d = _grid_precheck_scalars(
+    pk = np.asarray(_grid_precheck_scalars(
         state, jnp.float32(distance_delta)
-    )
-    rmax = float(rmax_d)
-    m = int(m_d)
-    if int(p_d) == 0 or m == 0 or not np.isfinite(rmax) or rmax <= 0:
+    ))                                       # ONE host pull for all scalars
+    rmax = float(pk[0])
+    m = int(pk[4])
+    if int(pk[5]) == 0 or m == 0 or not np.isfinite(rmax) or rmax <= 0:
         return None
     # Feasibility from scalars alone (the same doubling walk grid_nn_plan
     # does, minus the per-cell bincount): if no cell size passes the
     # average-occupancy and cell-count bounds, skip the host pull entirely.
-    span = np.asarray(span_d, np.float64)
+    span = np.asarray(pk[1:4], np.float64)
     cell = rmax
     feasible = False
     for _ in range(40):
