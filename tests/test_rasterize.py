@@ -516,6 +516,25 @@ def test_max_live_tiles_exact_and_counted(rng):
     assert int(s_bad["live_tile_overflow"]) > 0
 
 
+def test_cumsum_flat_mxu_exact(rng):
+    """The MXU triangular cumsum (liveness window trick) must be EXACTLY
+    np.cumsum on 0/1 vectors, including non-512-multiple lengths."""
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        _cumsum_flat_mxu,
+    )
+
+    for E in (1, 7, 512, 513, 4096, 12_345):
+        bits = rng.uniform(size=E) > 0.4
+        got = np.asarray(_cumsum_flat_mxu(jnp.asarray(bits)))
+        np.testing.assert_array_equal(got, np.cumsum(bits.astype(np.int64)))
+    # All-ones: within-row sums reach the full row width (f32-exactness
+    # boundary the docstring claims).
+    ones = jnp.ones((2048,), bool)
+    np.testing.assert_array_equal(
+        np.asarray(_cumsum_flat_mxu(ones)), np.arange(1, 2049)
+    )
+
+
 def test_max_live_tiles_sliced_gradients(rng):
     """Cap that GENUINELY slices (T_live < num_tiles) with live tiles at
     HIGH image ids: regression for the live_s bound in the gather VJP —
