@@ -85,13 +85,44 @@ def test_pallas_small_scene_regression(rng):
 
 
 def test_bench_config_compiles_and_runs(rng):
-    # The exact RasterizeConfig bench.py uses, at reduced N: a lowering or
-    # VMEM failure here is a failure of the driver benchmark contract.
+    # The exact RasterizeConfig bench.py uses (bf16 cotangent transport,
+    # K=384, occupancy-row cap) at reduced N: a lowering or VMEM failure
+    # here is a failure of the driver benchmark contract.
     m, c, o, f, viewmat, intr = _scene(rng, 100_000, scale_range=(0.002, 0.006))
     config = RasterizeConfig(
-        max_tiles_per_splat=4, max_splats_per_tile=512, tile_chunk=32,
-        backend="pallas",
+        max_tiles_per_splat=4, max_splats_per_tile=384, tile_chunk=32,
+        backend="pallas", bwd_sort_bf16=True, max_live_tiles=256,
     )
     v, g = _fwd_bwd((m, c, o, f), viewmat, intr, config)
     assert np.isfinite(float(v))
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
+
+
+def test_sliced_live_cap_gradients_on_chip(rng):
+    """max_live_tiles that GENUINELY slices (live tiles at high image ids),
+    compiled Mosaic path: gradients must match the uncapped transport —
+    regression for the r5 live_s bound fix, on the real chip."""
+    import dataclasses
+
+    m, c, o, f, viewmat, intr = _scene(rng, 3000, scale_range=(0.01, 0.04))
+    # Push the cloud toward the bottom-right: live tiles get HIGH image ids
+    # while low-id tiles stay empty — worst case for the cap bound.
+    m = m * 0.35 + jnp.asarray([0.55, 0.45, 0.0], jnp.float32)
+    base = RasterizeConfig(
+        max_tiles_per_splat=4, max_splats_per_tile=128, tile_chunk=32,
+        backend="pallas", bwd_sort_bf16=False,
+    )
+    capped = dataclasses.replace(base, max_live_tiles=128)  # < 256 tiles
+    from gaussiansplattingregistration_tpu.ops.rasterize import (
+        rasterize_arrays_with_stats,
+    )
+    _, _, _, s = rasterize_arrays_with_stats(
+        m, c, o, f, viewmat, intr, WIDTH, HEIGHT, 0, jnp.zeros(3), capped
+    )
+    assert int(s["live_tile_overflow"]) == 0, "cap must cover live tiles"
+    v0, g0 = _fwd_bwd((m, c, o, f), viewmat, intr, base)
+    v1, g1 = _fwd_bwd((m, c, o, f), viewmat, intr, capped)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
