@@ -540,6 +540,17 @@ def bench_photometric():
 
 
 def main():
+    # Persistent XLA compilation cache: bench executables replay from disk
+    # on repeat runs (the HEM pipeline alone is a ~40 s remote compile; the
+    # first-ever run on a machine still pays it). GSR_NO_COMPILE_CACHE=1
+    # opts out.
+    from gaussiansplattingregistration_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    cache = enable_compile_cache()
+    if cache:
+        _log(f"# compile cache: {cache}")
     only_headline = "--headline-only" in sys.argv
     headline = bench_raster()
 

@@ -739,6 +739,15 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+    # Persistent XLA compilation cache: CLI cold starts replay compiled
+    # executables from ~/.cache/gsr_tpu/jax instead of re-paying the TPU
+    # compile (~40-60 s for the heavy pipelines). GSR_NO_COMPILE_CACHE=1
+    # opts out.
+    from gaussiansplattingregistration_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 
